@@ -1,0 +1,88 @@
+"""Configuration dataclasses.
+
+These decouple the CLI surface from the engines, mirroring the reference's
+`MicroarrayDataPreparerConfig` (/root/reference/src/prepare.rs:149-156) and
+`EigenSNPCoreAlgorithmConfig` (field list characterized at
+/root/reference/src/main.rs:302-327).  Defaults are the clap
+`default_value_if("eigensnp", ...)` values from
+/root/reference/src/main.rs:545-591, which are authoritative when the
+EigenSNP workflow is selected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class DataPrepConfig:
+    """QC + standardization parameters for the PLINK/EigenSNP path.
+
+    Reference: /root/reference/src/prepare.rs:149-167 and the CLI defaults
+    at /root/reference/src/main.rs:545-552.
+    """
+
+    bed_path: str = ""
+    ld_block_path: str = ""
+    sample_keep_path: Optional[str] = None
+    min_call_rate: float = 0.98
+    min_maf: float = 0.01
+    max_hwe_p: float = 1e-6  # 1.0 disables the HWE filter
+    min_variance: float = 1e-9
+    snp_chunk_size: int = 2000  # SNP_IO_CHUNK_SIZE, prepare.rs:1115
+    # Deviation from the reference: the reference accessor hard-errors on a
+    # missing genotype surviving QC (prepare.rs:1906-1911); with call-rate
+    # thresholds < 1.0 missing values legitimately survive, so the default
+    # here is mean-imputation (= exactly what the reference's own Python
+    # oracle does, tests/pca.py:110).  Set "error" for strict parity.
+    missing_policy: str = "impute_mean"  # "impute_mean" | "error"
+
+
+@dataclasses.dataclass(frozen=True)
+class RsvdConfig:
+    """Randomized-SVD parameters (VCF workflow `rfit` equivalent).
+
+    Reference call site: /root/reference/src/main.rs:648-656 — k from CLI,
+    n_oversamples=10, seed passthrough, tol=None.
+    """
+
+    k: int = 10
+    n_oversamples: int = 10
+    n_power_iter: int = 4
+    seed: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EigenSnpConfig:
+    """EigenSNP two-stage algorithm parameters.
+
+    Field-for-field parity with `EigenSNPCoreAlgorithmConfig` as populated
+    at /root/reference/src/main.rs:311-327 with clap defaults from
+    main.rs:553-591.
+    """
+
+    k_global: int = 10
+    components_per_block: int = 7
+    subset_factor: float = 0.075
+    min_subset_size: int = 10_000
+    max_subset_size: int = 40_000
+    global_oversampling: int = 10
+    global_power_iter: int = 2
+    local_oversampling: int = 10
+    local_power_iter: int = 2
+    seed: int = 2025
+    snp_strip_size: int = 2000
+    refine_passes: int = 1
+    collect_diagnostics: bool = False
+
+    def subset_size(self, n_samples: int) -> int:
+        """Sample-subset size for local basis learning.
+
+        subset_factor × N clamped to [min_subset_size, max_subset_size]
+        and never more than N (semantics per SURVEY §2.4 /
+        main.rs:314-316).
+        """
+        raw = int(round(self.subset_factor * n_samples))
+        clamped = max(self.min_subset_size, min(self.max_subset_size, raw))
+        return min(n_samples, clamped)

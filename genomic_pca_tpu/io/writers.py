@@ -1,0 +1,105 @@
+"""TSV output writers, byte-compatible with the reference.
+
+Formats from /root/reference/src/main.rs:682-840:
+
+* `{prefix}.vcf.pca.tsv` / `{prefix}.eigensnp.pca.tsv` —
+  header `SampleID\tPC1...`, values `%.6f` fixed-point.
+* `{prefix}.eigenvalues.tsv` — header `PC\tEigenvalue`, rows `{i}\t%.6f`;
+  header written even when there are no eigenvalues (main.rs:771-776).
+* `{prefix}.eigensnp.loadings.tsv` — header
+  `VariantID\tChrom\tPos\tPC{i}_loading...`; row-count consistency check
+  (main.rs:817-824).
+
+Parent directories are created like the reference does
+(main.rs:219-225, 372-378).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Sequence
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def _open_out(prefix: str, suffix: str):
+    path = f"{prefix}.{suffix}"
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    return open(path, "w", buffering=1 << 20)
+
+
+def write_principal_components(
+    prefix: str,
+    sample_names: Sequence[str],
+    scores: np.ndarray,
+    suffix: str = "eigensnp.pca.tsv",
+) -> None:
+    """Write sample x PC scores. Use suffix "vcf.pca.tsv" for the VCF mode."""
+    scores = np.asarray(scores)
+    if scores.ndim != 2 or scores.shape[1] == 0:
+        log.info("No principal components (sample scores) to write.")
+        return
+    n_rows, n_pcs = scores.shape
+    with _open_out(prefix, suffix) as fh:
+        fh.write("SampleID")
+        for i in range(1, n_pcs + 1):
+            fh.write(f"\tPC{i}")
+        fh.write("\n")
+        for s_idx, name in enumerate(sample_names):
+            fh.write(str(name))
+            if s_idx < n_rows:
+                row = scores[s_idx]
+                fh.write("".join(f"\t{v:.6f}" for v in row))
+            else:
+                log.warning(
+                    "Sample index %d out of bounds for PCs (%d rows); writing NA.",
+                    s_idx,
+                    n_rows,
+                )
+                fh.write("\tNA" * n_pcs)
+            fh.write("\n")
+
+
+def write_eigenvalues(prefix: str, eigenvalues: Sequence[float]) -> None:
+    with _open_out(prefix, "eigenvalues.tsv") as fh:
+        fh.write("PC\tEigenvalue\n")
+        for i, ev in enumerate(np.asarray(eigenvalues, dtype=np.float64), start=1):
+            fh.write(f"{i}\t{ev:.6f}\n")
+
+
+def write_loadings(
+    prefix: str,
+    variant_ids: Sequence[str],
+    chromosomes: Sequence[str],
+    positions: Sequence[int],
+    loadings: np.ndarray,
+) -> None:
+    loadings = np.asarray(loadings)
+    if loadings.ndim != 2 or loadings.shape[1] == 0:
+        log.info("No SNP loadings to write (0 components).")
+        return
+    n_pcs = loadings.shape[1]
+    with _open_out(prefix, "eigensnp.loadings.tsv") as fh:
+        fh.write("VariantID\tChrom\tPos")
+        for i in range(1, n_pcs + 1):
+            fh.write(f"\tPC{i}_loading")
+        fh.write("\n")
+        if len(variant_ids) == 0:
+            return
+        if not (
+            len(variant_ids) == len(chromosomes) == len(positions) == loadings.shape[0]
+        ):
+            raise ValueError(
+                "Mismatch in lengths of variant metadata and loadings rows: "
+                f"ids={len(variant_ids)} chroms={len(chromosomes)} "
+                f"pos={len(positions)} rows={loadings.shape[0]}"
+            )
+        for v_idx in range(loadings.shape[0]):
+            fh.write(f"{variant_ids[v_idx]}\t{chromosomes[v_idx]}\t{positions[v_idx]}")
+            fh.write("".join(f"\t{v:.6f}" for v in loadings[v_idx]))
+            fh.write("\n")

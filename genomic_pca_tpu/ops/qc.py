@@ -1,0 +1,128 @@
+"""Per-SNP QC: device-side genotype histograms + host-side exact filters.
+
+Replaces the reference's two-pass 256-bit-SIMD QC kernel
+(/root/reference/src/prepare.rs:1232-1363) with a TPU-friendly split:
+
+1. `genotype_counts` — a jitted XLA reduction over the samples axis of an
+   int8 SNP-major strip, producing per-SNP counts (n0, n1, n2, n_valid)
+   as int32.  Dosages are integers in {0,1,2}, so these histograms carry
+   *exact* sufficient statistics: dosage_sum = n1 + 2*n2 and
+   sum_of_squares = n1 + 4*n2 — which makes mean/variance/MAF/HWE exactly
+   computable afterwards with no floating-point accumulation error (the
+   reference needs f64 SIMD accumulators for the same guarantee,
+   prepare.rs:1218, 1316).
+
+2. `snp_qc_from_counts` — host-side (numpy f64) application of the QC
+   chain in the reference's order (prepare.rs:1280-1363):
+   call-rate >= min  ->  MAF >= min (+ monomorphic epsilon)  ->
+   HWE p > max (filter active only when threshold < 1.0)  ->
+   sample variance (ddof=1) > 1e-9.
+
+Returning counts rather than decisions keeps the device program
+shape-static (the survivor count is data-dependent, so select/gather
+happens on host — SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomic_pca_tpu.config import DataPrepConfig
+from genomic_pca_tpu.ops.hwe import hwe_chi2_p
+
+MISSING = -127
+
+
+@partial(jax.jit, donate_argnums=())
+def genotype_counts(strip: jax.Array) -> tuple:
+    """Count per-row genotype classes of an int8 (snps, samples) strip.
+
+    Returns int32 arrays (n0, n1, n2, n_valid), each of shape (snps,).
+    Any value outside {0,1,2} counts as missing.
+    """
+    g = strip
+    n0 = jnp.sum((g == 0).astype(jnp.int32), axis=1)
+    n1 = jnp.sum((g == 1).astype(jnp.int32), axis=1)
+    n2 = jnp.sum((g == 2).astype(jnp.int32), axis=1)
+    return n0, n1, n2, n0 + n1 + n2
+
+
+@dataclasses.dataclass
+class QcResult:
+    """Per-strip QC outcome: survivor mask plus standardization moments."""
+
+    keep: np.ndarray  # bool (snps,)
+    mean: np.ndarray  # float32 (snps,), 0 where dropped
+    std: np.ndarray  # float32 (snps,), 0 where dropped
+
+    @property
+    def n_kept(self) -> int:
+        return int(self.keep.sum())
+
+
+def snp_qc_from_counts(
+    n0: np.ndarray,
+    n1: np.ndarray,
+    n2: np.ndarray,
+    n_valid: np.ndarray,
+    n_qc_samples: int,
+    config: DataPrepConfig,
+) -> QcResult:
+    """Apply the QC chain exactly, from integer genotype counts.
+
+    `n2` is the homozygous count for the counted allele (dosage 2); the
+    allele-1 dosage sum is n1 + 2*n2 (counts are exact, see module doc).
+    """
+    n0 = np.asarray(n0, dtype=np.int64)
+    n1 = np.asarray(n1, dtype=np.int64)
+    n2 = np.asarray(n2, dtype=np.int64)
+    nv = np.asarray(n_valid, dtype=np.int64)
+
+    keep = np.ones(nv.shape, dtype=bool)
+
+    # 1. call rate (prepare.rs:1282-1284)
+    if n_qc_samples > 0:
+        call_rate = nv / float(n_qc_samples)
+        keep &= call_rate >= config.min_call_rate
+    keep &= nv > 0
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dosage_sum = (n1 + 2 * n2).astype(np.float64)
+        mean = np.where(nv > 0, dosage_sum / np.maximum(nv, 1), 0.0)
+        freq = mean / 2.0
+        maf = np.minimum(freq, 1.0 - freq)
+
+        # 2. MAF + explicit monomorphic epsilon (prepare.rs:1294-1304)
+        keep &= maf >= config.min_maf
+        keep &= np.abs(freq) >= 1e-9
+        keep &= np.abs(1.0 - freq) >= 1e-9
+
+        # 3. HWE, only when the filter is active (prepare.rs:1306-1311)
+        if config.max_hwe_p < 1.0:
+            hwe_p = hwe_chi2_p(n0, n1, n2)
+            keep &= hwe_p > config.max_hwe_p
+
+        # 4. sample variance ddof=1 (prepare.rs:1316-1363): exact via
+        #    sum(g^2) = n1 + 4*n2  =>  ssd = sum(g^2) - nv*mean^2
+        sum_sq = (n1 + 4 * n2).astype(np.float64)
+        ssd = sum_sq - nv * mean * mean
+        var = np.where(nv >= 2, ssd / np.maximum(nv - 1, 1), 0.0)
+        keep &= var > config.min_variance
+
+    std = np.sqrt(np.maximum(var, 0.0))
+    mean_out = np.where(keep, mean, 0.0).astype(np.float32)
+    std_out = np.where(keep, std, 0.0).astype(np.float32)
+    return QcResult(keep=keep, mean=mean_out, std=std_out)
+
+
+def qc_strip(
+    strip: np.ndarray, n_qc_samples: int, config: DataPrepConfig
+) -> QcResult:
+    """Convenience: device histogram + host filter for one int8 strip."""
+    n0, n1, n2, nv = (np.asarray(a) for a in genotype_counts(jnp.asarray(strip)))
+    return snp_qc_from_counts(n0, n1, n2, nv, n_qc_samples, config)

@@ -1,0 +1,75 @@
+"""Randomized SVD, TPU-first.
+
+Re-creation of the compute contract of the external `efficient_pca` crate's
+`rfit` (API characterized at /root/reference/src/main.rs:648-660 and SURVEY
+§2.4): sketch -> power iterations with QR re-orthonormalization -> small
+exact SVD.  All matmuls are MXU-shaped (f32, `preferred_element_type`),
+shapes are static, and the PRNG is an explicit key so results are
+bitwise-reproducible for a fixed seed at any device count.
+
+Convention: `rsvd(X)` treats X as (rows x cols) and returns (U, s, Vt) with
+U: rows x k, s: k, Vt: k x cols — the rank-k truncated SVD approximation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _qr_q(a: jax.Array) -> jax.Array:
+    """Thin-QR orthonormal factor (reduced mode)."""
+    q, _ = jnp.linalg.qr(a)
+    return q
+
+
+@partial(jax.jit, static_argnames=("k", "n_oversamples", "n_power_iter"))
+def rsvd(
+    x: jax.Array,
+    key: jax.Array,
+    k: int,
+    n_oversamples: int = 10,
+    n_power_iter: int = 2,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Randomized truncated SVD of a dense device matrix.
+
+    Halko-Martinsson-Tropp with per-iteration QR stabilization; the sketch
+    width is k + n_oversamples (reference uses n_oversamples=10,
+    main.rs:651).
+    """
+    m, n = x.shape
+    ell = min(k + n_oversamples, min(m, n))
+    omega = jax.random.normal(key, (n, ell), dtype=x.dtype)
+    y = x @ omega  # (m, ell)
+    q = _qr_q(y)
+    for _ in range(n_power_iter):
+        z = x.T @ q  # (n, ell)
+        z = _qr_q(z)
+        y = x @ z
+        q = _qr_q(y)
+    b = q.T @ x  # (ell, n)
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = q @ ub
+    return u[:, :k], s[:k], vt[:k, :]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def exact_svd(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact truncated SVD (for small matrices / tests)."""
+    u, s, vt = jnp.linalg.svd(x, full_matrices=False)
+    return u[:, :k], s[:k], vt[:k, :]
+
+
+def sign_canonicalize(u: jax.Array, vt: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Fix the sign ambiguity of singular pairs for comparisons.
+
+    Convention: for each component, the entry of largest |value| in the
+    column of U is made positive (applied consistently to Vt).
+    """
+    idx = jnp.argmax(jnp.abs(u), axis=0)
+    signs = jnp.sign(u[idx, jnp.arange(u.shape[1])])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    return u * signs[None, :], vt * signs[:, None]
