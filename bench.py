@@ -1,0 +1,100 @@
+"""Benchmark: streamed standardized-genotype PCA throughput on one chip.
+
+Measures the hot loop of the framework — the fused int8-standardize ->
+MXU matmul power-iteration pass (A^T A B over variant strips) — and
+reports SNPs/sec streamed.  `vs_baseline` compares against the
+reference's own numeric strategy measured on this host: the numpy f64
+Gram accumulation of its exact-PCA oracle (/root/reference/tests/pca.py:
+109-111), scaled from a small timed sample.  (The reference publishes no
+numbers of its own — BASELINE.md.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from genomic_pca_tpu.parallel.mesh import make_mesh
+    from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+
+    # Problem size: biobank-shaped strip stream (int8 resident in HBM).
+    n_samples = 2048
+    n_snps = 262_144 if on_tpu else 16_384
+    ell = 32
+    strip_size = 4096
+
+    rng = np.random.default_rng(0)
+    # Synthetic dosages: two Bernoulli draws via byte thresholds (fast to
+    # generate at biobank scale; throughput doesn't depend on the
+    # frequency spectrum).
+    thresh = rng.integers(8, 128, size=(n_snps, 1), dtype=np.uint8)
+    raw1 = rng.integers(0, 256, size=(n_snps, n_samples), dtype=np.uint8)
+    raw2 = rng.integers(0, 256, size=(n_snps, n_samples), dtype=np.uint8)
+    geno = ((raw1 < thresh).astype(np.int8) + (raw2 < thresh)).astype(np.int8)
+
+    mesh = make_mesh(jax.devices()[:1])
+    sm = ShardedMatrix.from_arrays(
+        iter([geno]), strip_size=strip_size, mesh=mesh
+    )
+    b = jnp.asarray(rng.standard_normal((n_samples, ell)), dtype=jnp.float32)
+
+    # Warm-up / compile.
+    sm.gram_apply(b).block_until_ready()
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = sm.gram_apply(b)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    snps_per_sec = n_snps * n_iter / dt
+    flops = 4.0 * n_snps * n_samples * ell * n_iter  # 2 matmuls x 2 flop/MAC
+    tflops = flops / dt / 1e12
+
+    # Reference-strategy baseline: numpy f64 centered Gram accumulation
+    # (X^T X over a sample of strips), the oracle's inner loop.
+    sample_snps = min(4096, n_snps)
+    xs = geno[:sample_snps].astype(np.float64)
+    xs -= xs.mean(axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    _ = xs.T @ xs
+    base_dt = time.perf_counter() - t0
+    base_snps_per_sec = sample_snps / base_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "streamed_pca_power_iteration_throughput",
+                "value": round(snps_per_sec, 1),
+                "unit": "SNPs/sec",
+                "vs_baseline": round(snps_per_sec / base_snps_per_sec, 3),
+                "detail": {
+                    "platform": platform,
+                    "n_snps": n_snps,
+                    "n_samples": n_samples,
+                    "sketch_width": ell,
+                    "tflops_per_sec": round(tflops, 3),
+                    "baseline": "numpy f64 Gram accumulation "
+                    "(reference oracle inner loop) on this host",
+                    "baseline_snps_per_sec": round(base_snps_per_sec, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

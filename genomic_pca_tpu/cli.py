@@ -1,0 +1,183 @@
+"""Command-line interface — full flag parity with the reference CLI.
+
+Flag-for-flag port of the clap-derive `CliArgs`
+(/root/reference/src/main.rs:501-593), including the conditional
+requiredness (`--vcf-dir`/`-k` required unless `--eigensnp`;
+`--bed-file`/`--ld-block-file` required with it) and the
+`default_value_if("eigensnp", ...)` defaults (main.rs:545-591).
+
+Usage:
+    python -m genomic_pca_tpu -d vcf_dir/ -o out -k 10
+    python -m genomic_pca_tpu --eigensnp --bed-file x.bed \
+        --ld-block-file blocks.tsv -o out
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+from typing import List, Optional
+
+from genomic_pca_tpu.utils.logsetup import setup_logging
+
+log = logging.getLogger("genomic_pca_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="genomic-pca-tpu",
+        description="Genomic PCA Tool from VCF or BED/LD-block files (TPU-native).",
+    )
+    # --- Common arguments ---
+    p.add_argument("-o", "--out", dest="output_prefix", required=True,
+                   help="Output file prefix.")
+    p.add_argument("-t", "--threads", type=int, default=None,
+                   help="Number of threads for parallel host operations "
+                        "(default: all available CPUs).")
+    p.add_argument("--log-level", default="Info",
+                   help="Logging level (e.g., Off, Error, Warn, Info, Debug, Trace).")
+
+    # --- VCF workflow ---
+    p.add_argument("-d", "--vcf-dir", default=None,
+                   help="Directory containing VCF files "
+                        "(required if not using --eigensnp).")
+    p.add_argument("-k", "--components", type=int, default=None,
+                   help="Number of principal components to compute (VCF workflow).")
+    p.add_argument("--maf", type=float, default=None,
+                   help="Minimum MAF for VCF variant filtering "
+                        "(defaults to 0.01 when processing).")
+    p.add_argument("--rfit-seed", type=int, default=None,
+                   help="Seed for randomized SVD (VCF workflow).")
+
+    # --- EigenSNP workflow ---
+    p.add_argument("--eigensnp", action="store_true",
+                   help="Run PCA using the EigenSNP algorithm "
+                        "(requires BED & LD block files).")
+    p.add_argument("--bed-file", default=None,
+                   help="Path to the BED file (required if --eigensnp).")
+    p.add_argument("--ld-block-file", default=None,
+                   help="Path to the LD block definition file "
+                        "(required if --eigensnp).")
+    p.add_argument("--eigensnp-sample-keep-file", default=None,
+                   help="Optional: file listing sample IDs to keep.")
+    p.add_argument("--eigensnp-min-call-rate", type=float, default=None,
+                   help="Min SNP call rate for QC (default 0.98).")
+    p.add_argument("--eigensnp-min-maf", type=float, default=None,
+                   help="Min SNP MAF for QC (default 0.01).")
+    p.add_argument("--eigensnp-max-hwe-p", type=float, default=None,
+                   help="Max SNP HWE p-value for QC; 1.0 disables "
+                        "(default 1e-6).")
+    p.add_argument("--eigensnp-k-global", type=int, default=None,
+                   help="Target number of global PCs (default 10).")
+    p.add_argument("--eigensnp-components-per-block", type=int, default=None,
+                   help="Local components per LD block (default 7).")
+    p.add_argument("--eigensnp-subset-factor", type=float, default=None,
+                   help="Subset factor for local basis learning (default 0.075).")
+    p.add_argument("--eigensnp-min-subset-size", type=int, default=None,
+                   help="Min subset size for local basis learning (default 10000).")
+    p.add_argument("--eigensnp-max-subset-size", type=int, default=None,
+                   help="Max subset size for local basis learning (default 40000).")
+    p.add_argument("--eigensnp-global-oversampling", type=int, default=None,
+                   help="Global PCA sketch oversampling (default 10).")
+    p.add_argument("--eigensnp-global-power-iter", type=int, default=None,
+                   help="Global PCA power iterations (default 2).")
+    p.add_argument("--eigensnp-local-oversampling", type=int, default=None,
+                   help="Local RSVD sketch oversampling (default 10).")
+    p.add_argument("--eigensnp-local-power-iter", type=int, default=None,
+                   help="Local RSVD power iterations (default 2).")
+    p.add_argument("--eigensnp-seed", type=int, default=None,
+                   help="Random seed for EigenSNP (default 2025).")
+    p.add_argument("--eigensnp-snp-strip-size", type=int, default=None,
+                   help="SNP processing strip size (default 2000).")
+    p.add_argument("--eigensnp-refine-passes", type=int, default=None,
+                   help="Number of refinement passes (default 1).")
+    p.add_argument("--eigensnp-collect-diagnostics", action="store_true",
+                   help="Enable detailed diagnostics collection.")
+    return p
+
+
+def _default(value, fallback):
+    return fallback if value is None else value
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.log_level)
+    t0 = time.perf_counter()
+
+    threads = args.threads if args.threads is not None else (os.cpu_count() or 1)
+
+    # Conditional requiredness (main.rs:519-540).
+    if args.eigensnp:
+        missing = [
+            name
+            for name, val in (("--bed-file", args.bed_file),
+                              ("--ld-block-file", args.ld_block_file))
+            if val is None
+        ]
+        if missing:
+            log.error("%s required when --eigensnp is used.", ", ".join(missing))
+            return 2
+    else:
+        missing = [
+            name
+            for name, val in (("--vcf-dir", args.vcf_dir),
+                              ("-k/--components", args.components))
+            if val is None
+        ]
+        if missing:
+            log.error("%s required for the VCF workflow.", ", ".join(missing))
+            return 2
+
+    from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+    from genomic_pca_tpu.workflows import run_eigensnp_workflow, run_vcf_workflow
+
+    try:
+        if args.eigensnp:
+            prep_cfg = DataPrepConfig(
+                bed_path=args.bed_file,
+                ld_block_path=args.ld_block_file,
+                sample_keep_path=args.eigensnp_sample_keep_file,
+                min_call_rate=_default(args.eigensnp_min_call_rate, 0.98),
+                min_maf=_default(args.eigensnp_min_maf, 0.01),
+                max_hwe_p=_default(args.eigensnp_max_hwe_p, 1e-6),
+                snp_chunk_size=_default(args.eigensnp_snp_strip_size, 2000),
+            )
+            algo_cfg = EigenSnpConfig(
+                k_global=_default(args.eigensnp_k_global, 10),
+                components_per_block=_default(args.eigensnp_components_per_block, 7),
+                subset_factor=_default(args.eigensnp_subset_factor, 0.075),
+                min_subset_size=_default(args.eigensnp_min_subset_size, 10_000),
+                max_subset_size=_default(args.eigensnp_max_subset_size, 40_000),
+                global_oversampling=_default(args.eigensnp_global_oversampling, 10),
+                global_power_iter=_default(args.eigensnp_global_power_iter, 2),
+                local_oversampling=_default(args.eigensnp_local_oversampling, 10),
+                local_power_iter=_default(args.eigensnp_local_power_iter, 2),
+                seed=_default(args.eigensnp_seed, 2025),
+                snp_strip_size=_default(args.eigensnp_snp_strip_size, 2000),
+                refine_passes=_default(args.eigensnp_refine_passes, 1),
+                collect_diagnostics=args.eigensnp_collect_diagnostics,
+            )
+            run_eigensnp_workflow(prep_cfg, algo_cfg, args.output_prefix)
+        else:
+            run_vcf_workflow(
+                vcf_dir=args.vcf_dir,
+                output_prefix=args.output_prefix,
+                k=args.components,
+                maf=args.maf,
+                rfit_seed=args.rfit_seed,
+                threads=threads,
+            )
+    except Exception:
+        log.exception("Workflow failed.")
+        return 1
+
+    log.info("Total run time: %.3fs", time.perf_counter() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

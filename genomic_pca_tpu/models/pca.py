@@ -1,0 +1,115 @@
+"""Streamed randomized PCA — the `rfit`/`transform` equivalent.
+
+Re-creates the compute contract of `efficient_pca::PCA` as used by the VCF
+workflow (/root/reference/src/main.rs:595-680): fit a rank-k PCA of the
+(samples x variants) dosage matrix by randomized SVD and project samples
+into PC space.  Input validation mirrors pca_runner::run_genomic_pca
+(main.rs:607-634): k >= 1, n_samples >= 2, n_features >= 1, and k is
+clamped to min(n, d) with a warning.
+
+TPU-native formulation: the matrix lives as int8 strips (ops/stream.py)
+and the randomized SVD runs as subspace iteration in the small sample
+dimension —
+
+    B_0   = N(0,1) sketch  (n_samples x l),  l = k + oversamples
+    B_t+1 = qr( A^T A B_t )          # one streamed pass per iteration
+    G     = B^T A^T A B;  eigh(G) -> (W, sigma^2)
+    V     = B W  (right singular vectors);  scores = V * sigma
+    U     = A V / sigma   (loadings, streamed)
+
+so device memory stays O(N*l) however many variants stream through, and
+every FLOP is an MXU matmul over the fused-standardized strips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomic_pca_tpu.ops.stream import StripedMatrix
+from genomic_pca_tpu.utils.rng import key_for_stage
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PcaResult:
+    scores: np.ndarray  # (n_samples, k) = V * sigma
+    eigenvalues: np.ndarray  # (k,) explained variance sigma^2 / (n_samples - 1)
+    singular_values: np.ndarray  # (k,)
+    loadings: Optional[np.ndarray]  # (n_variants, k) or None if not requested
+    k: int
+
+
+def validate_k(k: int, n_samples: int, n_features: int) -> int:
+    """k validation with the reference's clamp/warn semantics."""
+    if n_samples < 2:
+        raise ValueError(f"PCA requires at least 2 samples, got {n_samples}.")
+    if n_features < 1:
+        raise ValueError("PCA requires at least 1 feature.")
+    if k < 1:
+        raise ValueError(f"Number of components k must be >= 1, got {k}.")
+    upper = min(n_samples, n_features)
+    if k > upper:
+        log.warning(
+            "Requested k=%d exceeds min(n_samples, n_features)=%d; clamping.",
+            k,
+            upper,
+        )
+        return upper
+    return k
+
+
+def streamed_pca(
+    matrix: StripedMatrix,
+    k: int,
+    n_oversamples: int = 10,
+    n_power_iter: int = 4,
+    seed: Optional[int] = None,
+    compute_loadings: bool = False,
+) -> PcaResult:
+    """Randomized PCA of the implicit standardized matrix A (D x N)."""
+    n = matrix.n_samples
+    d = matrix.n_rows
+    k = validate_k(k, n, d)
+    ell = min(k + n_oversamples, min(n, d))
+
+    key = key_for_stage(seed if seed is not None else 0, "rfit_sketch")
+    b = jax.random.normal(key, (n, ell), dtype=jnp.float32)
+
+    for _ in range(max(n_power_iter, 1)):
+        t = matrix.gram_apply(b)  # A^T A B, one streamed pass
+        b, _ = jnp.linalg.qr(t)
+
+    g = matrix.tsq_accumulate(b)  # B^T A^T A B (l x l)
+    evals, w = jnp.linalg.eigh(g)  # ascending
+    order = jnp.argsort(-evals)
+    evals = jnp.maximum(evals[order], 0.0)
+    w = w[:, order]
+    sigma = jnp.sqrt(evals)
+    v = b @ w  # (n, l) right singular vectors
+
+    v_k = v[:, :k]
+    sigma_k = sigma[:k]
+    scores = np.asarray(v_k * sigma_k[None, :])
+    eigenvalues = np.asarray(evals[:k]) / max(n - 1, 1)
+
+    loadings = None
+    if compute_loadings:
+        inv_sigma = np.asarray(
+            jnp.where(sigma_k > 0, 1.0 / jnp.where(sigma_k > 0, sigma_k, 1.0), 0.0)
+        )
+        loadings = matrix.right_apply(v_k) * inv_sigma[None, :]
+
+    return PcaResult(
+        scores=scores,
+        eigenvalues=eigenvalues,
+        singular_values=np.asarray(sigma_k),
+        loadings=loadings,
+        k=k,
+    )

@@ -1,0 +1,212 @@
+"""Data preparation pipeline for the EigenSNP workflow.
+
+The `MicroarrayDataPreparer` equivalent
+(/root/reference/src/prepare.rs:922-1766): sample QC via keep-list
+intersection, chunked SNP QC with exact moments, LD-block mapping, and a
+standardized-genotype accessor handing device-resident int8 strips to the
+PCA engine.
+
+Differences by design (TPU-first):
+
+* The reference's actor-based IoService (prepare.rs:169-920) exists to
+  overlap mmap'd BED reads with SIMD QC threads.  Here the BED decode is
+  one vectorized numpy gather per chunk (io/bed.py) and QC is a jitted
+  XLA reduction, so the pipeline is a simple chunk loop; overlap of host
+  I/O with device compute is provided by io/prefetch.py on the streaming
+  paths.
+* QC decisions derive from exact integer genotype histograms
+  (ops/qc.py), equivalent to the reference's two-pass f64 SIMD
+  accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from genomic_pca_tpu.config import DataPrepConfig
+from genomic_pca_tpu.io.bed import BedReader
+from genomic_pca_tpu.io.ldblocks import LdBlockSpec, map_snps_to_blocks, parse_ld_block_file
+from genomic_pca_tpu.ops.qc import qc_strip
+from genomic_pca_tpu.ops.standardize import standardize_strip
+from genomic_pca_tpu.ops.stream import MISSING, StripedMatrix
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PreparedData:
+    """QC'd, LD-mapped dataset ready for the EigenSNP core algorithm.
+
+    Index spaces (mirroring PcaSnpId / QcSampleId, prepare.rs:1485, 1858):
+      * QcSampleId i  <->  FAM row `qc_sample_indices[i]`
+      * PcaSnpId   i  <->  BIM row `pca_snp_orig_indices[i]`
+    """
+
+    bed: BedReader
+    config: DataPrepConfig
+    qc_sample_indices: np.ndarray  # (N,) original FAM indices
+    sample_ids: List[str]  # (N,) FAM iids, QcSampleId order
+    pca_snp_orig_indices: np.ndarray  # (D,) original BIM indices, sorted
+    mean: np.ndarray  # (D,) f32 aligned to PcaSnpId
+    std: np.ndarray  # (D,) f32 aligned to PcaSnpId
+    blocks: List[LdBlockSpec]
+    n_snps_pre_qc: int
+    n_snps_post_qc: int
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.qc_sample_indices)
+
+    @property
+    def n_pca_snps(self) -> int:
+        return len(self.pca_snp_orig_indices)
+
+    def snp_metadata(self):
+        """(sids, chroms, positions) aligned to PcaSnpId order
+        (main.rs:450-496 equivalent)."""
+        idx = self.pca_snp_orig_indices
+        return (
+            self.bed.bim.sid[idx],
+            self.bed.bim.chrom[idx],
+            self.bed.bim.bp[idx],
+        )
+
+    def _check_missing_policy(self, raw: np.ndarray) -> None:
+        if self.config.missing_policy == "error" and (raw == MISSING).any():
+            raise ValueError(
+                "Missing genotype encountered post-QC with "
+                "missing_policy='error' (reference accessor semantics, "
+                "prepare.rs:1906-1911)."
+            )
+
+    def fetch_block_standardized(
+        self,
+        pca_snp_ids: np.ndarray,
+        sample_subset: Optional[np.ndarray] = None,
+    ) -> jax.Array:
+        """`get_standardized_snp_sample_block` equivalent
+        (prepare.rs:1838-2029): (snps, samples) f32 on device."""
+        pca_snp_ids = np.asarray(pca_snp_ids, dtype=np.int64)
+        orig = self.pca_snp_orig_indices[pca_snp_ids]
+        samp = (
+            self.qc_sample_indices
+            if sample_subset is None
+            else self.qc_sample_indices[np.asarray(sample_subset)]
+        )
+        raw = self.bed.read(orig, samp)
+        self._check_missing_policy(raw)
+        import jax.numpy as jnp
+
+        return standardize_strip(
+            jnp.asarray(raw),
+            jnp.asarray(self.mean[pca_snp_ids]),
+            jnp.asarray(
+                np.where(
+                    self.std[pca_snp_ids] > 0, 1.0 / np.where(self.std[pca_snp_ids] > 0, self.std[pca_snp_ids], 1.0), 0.0
+                ).astype(np.float32)
+            ),
+        )
+
+    def load_striped_matrix(
+        self, strip_size: int = 2048, device=None
+    ) -> StripedMatrix:
+        """Materialize the full standardized operator A (D x N) as
+        device-resident int8 strips."""
+
+        def gen():
+            for start in range(0, self.n_pca_snps, strip_size):
+                end = min(start + strip_size, self.n_pca_snps)
+                orig = self.pca_snp_orig_indices[start:end]
+                raw = self.bed.read(orig, self.qc_sample_indices)
+                self._check_missing_policy(raw)
+                yield raw
+
+        means = [
+            self.mean[s : min(s + strip_size, self.n_pca_snps)]
+            for s in range(0, self.n_pca_snps, strip_size)
+        ]
+        stds = [
+            self.std[s : min(s + strip_size, self.n_pca_snps)]
+            for s in range(0, self.n_pca_snps, strip_size)
+        ]
+        return StripedMatrix.from_arrays(
+            gen(), means=means, stds=stds, strip_size=strip_size, device=device
+        )
+
+
+def perform_sample_qc(
+    bed: BedReader, keep_path: Optional[str]
+) -> np.ndarray:
+    """Keep-list intersection preserving FAM order (prepare.rs:1058-1096)."""
+    n = bed.n_samples
+    if keep_path is None:
+        log.info("No sample keep-list provided; using all %d samples.", n)
+        return np.arange(n, dtype=np.int64)
+    with open(keep_path, "r") as fh:
+        keep = {line.rstrip("\n").rstrip("\r") for line in fh}
+    idx = np.array(
+        [i for i, iid in enumerate(bed.fam.iid) if iid in keep], dtype=np.int64
+    )
+    log.info("Sample QC: %d / %d samples selected.", len(idx), n)
+    return idx
+
+
+def prepare_data(config: DataPrepConfig) -> PreparedData:
+    """Full preparation: sample QC -> chunked SNP QC -> LD mapping."""
+    bed = BedReader(config.bed_path)
+    qc_samples = perform_sample_qc(bed, config.sample_keep_path)
+    n_qc = len(qc_samples)
+    if n_qc == 0:
+        raise ValueError("Sample QC left 0 samples.")
+
+    chunk = config.snp_chunk_size
+    keep_chunks: List[np.ndarray] = []
+    mean_chunks: List[np.ndarray] = []
+    std_chunks: List[np.ndarray] = []
+    sample_sel = None if n_qc == bed.n_samples else qc_samples
+    for start in range(0, bed.n_snps, chunk):
+        end = min(start + chunk, bed.n_snps)
+        raw = bed.read(slice(start, end), sample_sel)
+        qc = qc_strip(raw, n_qc, config)
+        keep_chunks.append(qc.keep)
+        mean_chunks.append(qc.mean)
+        std_chunks.append(qc.std)
+        log.debug("SNP QC chunk %d-%d: kept %d", start, end, qc.n_kept)
+
+    keep = np.concatenate(keep_chunks)
+    mean_all = np.concatenate(mean_chunks)
+    std_all = np.concatenate(std_chunks)
+    qc_orig = np.nonzero(keep)[0]
+    log.info("SNP QC: %d / %d SNPs passed.", len(qc_orig), bed.n_snps)
+
+    parsed_blocks = parse_ld_block_file(config.ld_block_path)
+    blocks, pca_orig = map_snps_to_blocks(
+        bed.bim.chrom[qc_orig],
+        bed.bim.bp[qc_orig],
+        qc_orig,
+        parsed_blocks,
+    )
+    log.info(
+        "LD mapping: %d QC'd SNPs -> %d PCA SNPs across %d blocks.",
+        len(qc_orig),
+        len(pca_orig),
+        len(blocks),
+    )
+
+    return PreparedData(
+        bed=bed,
+        config=config,
+        qc_sample_indices=qc_samples,
+        sample_ids=[str(s) for s in bed.fam.iid[qc_samples]],
+        pca_snp_orig_indices=pca_orig,
+        mean=mean_all[pca_orig].astype(np.float32),
+        std=std_all[pca_orig].astype(np.float32),
+        blocks=blocks,
+        n_snps_pre_qc=bed.n_snps,
+        n_snps_post_qc=len(qc_orig),
+    )

@@ -1,0 +1,123 @@
+"""Workflow orchestration: VCF and EigenSNP end-to-end runs.
+
+Equivalents of `run_vcf_workflow` (/root/reference/src/main.rs:133-247)
+and `run_eigensnp_rust_workflow` (main.rs:250-447), including per-stage
+wall-clock timing summaries (main.rs:237-243, 434-442).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from typing import Optional
+
+import numpy as np
+
+from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+from genomic_pca_tpu.io.vcf import load_vcf_directory
+from genomic_pca_tpu.io.writers import (
+    write_eigenvalues,
+    write_loadings,
+    write_principal_components,
+)
+from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
+from genomic_pca_tpu.models.pca import streamed_pca
+from genomic_pca_tpu.models.prepare import prepare_data
+from genomic_pca_tpu.ops.stream import StripedMatrix
+from genomic_pca_tpu.utils.timing import StageTimer
+
+log = logging.getLogger(__name__)
+
+
+def run_vcf_workflow(
+    vcf_dir: str,
+    output_prefix: str,
+    k: int,
+    maf: Optional[float] = None,
+    rfit_seed: Optional[int] = None,
+    threads: int = 0,
+    write_real_eigenvalues: bool = True,
+) -> None:
+    """VCF directory -> dosage matrix -> randomized PCA -> TSVs.
+
+    Output files: `{prefix}.vcf.pca.tsv` and `{prefix}.eigenvalues.tsv`.
+    The reference leaves eigenvalues.tsv header-only in this mode (its
+    pc_variances vector is empty, main.rs:676); we write the actual
+    explained variances by default — a strict superset of the reference
+    format (`write_real_eigenvalues=False` restores exact parity).
+    Loadings are intentionally not written in VCF mode (main.rs:233).
+    """
+    timer = StageTimer()
+
+    with timer.stage("VCF parsing & filtering"):
+        sample_names, variant_ids, strips = load_vcf_directory(
+            vcf_dir, maf, n_workers=threads
+        )
+
+    with timer.stage("Matrix assembly (device strips)"):
+        matrix = StripedMatrix.from_arrays(strips, center_only=True)
+    log.info(
+        "Assembled %d variants x %d samples across %d device strips.",
+        matrix.n_rows,
+        matrix.n_samples,
+        len(matrix.strips),
+    )
+
+    with timer.stage("Randomized PCA (rfit)"):
+        result = streamed_pca(
+            matrix,
+            k=k,
+            n_oversamples=10,
+            seed=rfit_seed,
+        )
+
+    with timer.stage("Output writing"):
+        write_principal_components(
+            output_prefix, sample_names, result.scores, suffix="vcf.pca.tsv"
+        )
+        write_eigenvalues(
+            output_prefix, result.eigenvalues if write_real_eigenvalues else []
+        )
+
+    timer.log_summary("VCF workflow stage timings")
+
+
+def run_eigensnp_workflow(
+    prep_config: DataPrepConfig,
+    algo_config: EigenSnpConfig,
+    output_prefix: str,
+) -> None:
+    """BED/LD-block -> QC -> two-stage EigenSNP PCA -> TSVs.
+
+    Output files: `{prefix}.eigensnp.pca.tsv`, `{prefix}.eigenvalues.tsv`,
+    `{prefix}.eigensnp.loadings.tsv`, and with diagnostics enabled
+    `{prefix}.eigensnp_diagnostics.json` (main.rs:386-432).
+    """
+    timer = StageTimer()
+
+    with timer.stage("Data preparation (QC + LD mapping)"):
+        prep = prepare_data(prep_config)
+
+    with timer.stage("EigenSNP core algorithm"):
+        result = compute_eigensnp_pca(prep, algo_config)
+
+    with timer.stage("Output writing"):
+        write_principal_components(
+            output_prefix, prep.sample_ids, result.scores, suffix="eigensnp.pca.tsv"
+        )
+        write_eigenvalues(output_prefix, result.eigenvalues)
+        sids, chroms, positions = prep.snp_metadata()
+        write_loadings(
+            output_prefix,
+            [str(s) for s in sids],
+            [str(c) for c in chroms],
+            [int(p) for p in positions],
+            result.loadings,
+        )
+        if result.diagnostics is not None:
+            path = f"{output_prefix}.eigensnp_diagnostics.json"
+            with open(path, "w") as fh:
+                json.dump(result.diagnostics, fh, indent=2)
+            log.info("Wrote diagnostics to %s", path)
+
+    timer.log_summary("EigenSNP workflow stage timings")
