@@ -33,7 +33,7 @@ def main() -> None:
     n_samples = 2048
     n_snps = 262_144 if on_tpu else 16_384
     ell = 32
-    strip_size = 4096
+
 
     rng = np.random.default_rng(0)
     # Synthetic dosages: two Bernoulli draws via byte thresholds (fast to
@@ -45,19 +45,17 @@ def main() -> None:
     geno = ((raw1 < thresh).astype(np.int8) + (raw2 < thresh)).astype(np.int8)
 
     mesh = make_mesh(jax.devices()[:1])
-    sm = ShardedMatrix.from_arrays(
-        iter([geno]), strip_size=strip_size, mesh=mesh
-    )
+    sm = ShardedMatrix.from_arrays(iter([geno]), mesh=mesh)
     b = jnp.asarray(rng.standard_normal((n_samples, ell)), dtype=jnp.float32)
 
-    # Warm-up / compile.
-    sm.gram_apply(b).block_until_ready()
+    # Warm-up / compile, with a full host sync (block_until_ready is not
+    # a reliable fence on relayed backends).
+    _ = np.asarray(sm.power_iterate(b, 2))
 
-    n_iter = 10
+    n_iter = 32
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = sm.gram_apply(b)
-    out.block_until_ready()
+    out = sm.power_iterate(b, n_iter)  # whole loop on device, 1 dispatch
+    _ = np.asarray(out)
     dt = time.perf_counter() - t0
 
     snps_per_sec = n_snps * n_iter / dt

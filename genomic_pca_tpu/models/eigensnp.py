@@ -140,7 +140,7 @@ def compute_eigensnp_pca(
     s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) orthonormal score basis
 
     # ---- Refinement over the full standardized matrix ----------------
-    a = prep.load_striped_matrix(strip_size=strip_size)
+    a = prep.load_matrix(strip_size=strip_size)
     for p in range(cfg.refine_passes):
         t = a.gram_apply(s_basis)  # A^T A S, one streamed pass
         s_basis, _ = jnp.linalg.qr(t)

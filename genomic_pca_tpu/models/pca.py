@@ -82,9 +82,14 @@ def streamed_pca(
     key = key_for_stage(seed if seed is not None else 0, "rfit_sketch")
     b = jax.random.normal(key, (n, ell), dtype=jnp.float32)
 
-    for _ in range(max(n_power_iter, 1)):
-        t = matrix.gram_apply(b)  # A^T A B, one streamed pass
-        b, _ = jnp.linalg.qr(t)
+    n_iter = max(n_power_iter, 1)
+    if hasattr(matrix, "power_iterate"):
+        # Whole loop on device in one dispatch (ShardedMatrix).
+        b = matrix.power_iterate(b, n_iter)
+    else:
+        for _ in range(n_iter):
+            t = matrix.gram_apply(b)  # A^T A B, one streamed pass
+            b, _ = jnp.linalg.qr(t)
 
     g = matrix.tsq_accumulate(b)  # B^T A^T A B (l x l)
     evals, w = jnp.linalg.eigh(g)  # ascending

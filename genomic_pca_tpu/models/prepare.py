@@ -112,12 +112,7 @@ class PreparedData:
             ),
         )
 
-    def load_striped_matrix(
-        self, strip_size: int = 2048, device=None
-    ) -> StripedMatrix:
-        """Materialize the full standardized operator A (D x N) as
-        device-resident int8 strips."""
-
+    def _strip_gen(self, strip_size: int):
         def gen():
             for start in range(0, self.n_pca_snps, strip_size):
                 end = min(start + strip_size, self.n_pca_snps)
@@ -134,8 +129,26 @@ class PreparedData:
             self.std[s : min(s + strip_size, self.n_pca_snps)]
             for s in range(0, self.n_pca_snps, strip_size)
         ]
+        return gen(), means, stds
+
+    def load_striped_matrix(
+        self, strip_size: int = 2048, device=None
+    ) -> StripedMatrix:
+        """Materialize the full standardized operator A (D x N) as
+        device-resident int8 strips (simple single-device container)."""
+        gen, means, stds = self._strip_gen(strip_size)
         return StripedMatrix.from_arrays(
-            gen(), means=means, stds=stds, strip_size=strip_size, device=device
+            gen, means=means, stds=stds, strip_size=strip_size, device=device
+        )
+
+    def load_matrix(self, strip_size: int = 2048, mesh=None):
+        """Materialize A as the production variant-sharded container
+        (Pallas kernels on TPU, shard_map + psum across the mesh)."""
+        from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+
+        gen, means, stds = self._strip_gen(strip_size)
+        return ShardedMatrix.from_arrays(
+            gen, means=means, stds=stds, mesh=mesh
         )
 
 

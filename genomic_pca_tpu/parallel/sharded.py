@@ -1,71 +1,94 @@
-"""Variant-sharded streamed matrix: shard_map + scan + psum.
+"""Variant-sharded streamed matrix: shard_map + Pallas + psum.
 
 The production container for the standardized genotype operator A (D x N):
 
-* Genotypes stack into a 3-D int8 array (n_strips, strip_size, n_samples)
-  sharded over the strip axis of a 1-D mesh ("v"); per-SNP mean / inv_std
-  vectors shard identically.  Padding rows (both within the last strip
-  and to round the strip count up to a mesh multiple) carry inv_std = 0
-  and standardize to zero.
-* Each linear-algebra pass runs under `shard_map`: a `lax.scan` over the
-  local strips does fused standardize + MXU matmuls entirely on-device
-  (one XLA program — no per-strip Python dispatch), then a single `psum`
-  over "v" merges the (n_samples x l) or (l x l) partial results.  Only
-  those small condensed factors ever cross ICI — the genotype shards
-  never move.
-* On a 1-device mesh the same code is the optimized single-chip path
-  (the scan replaces the strip loop of ops/stream.py).
+* Genotypes live as one 2-D int8 array (D_pad, N_pad) sharded over rows
+  on a 1-D mesh ("v"); per-SNP mean / inv_std columns shard identically.
+  Row padding carries inv_std = 0 (standardizes to zero); sample-column
+  padding is the missing sentinel -127 (standardizes to zero); sketch
+  columns pad with zeros.  All padding is mathematically inert.
+* Each pass runs under `shard_map`: the local row block goes through a
+  fused Pallas kernel (ops/pallas_kernels.py — int8 read straight into
+  VMEM, standardize on the VPU, both MXU matmuls in-place) or, off-TPU,
+  an XLA scan over strips; a single `psum` over "v" merges the small
+  condensed factors.  Only (N x l)/(l x l) blocks ever cross ICI.
+* On a 1-device mesh the same code is the optimized single-chip path.
 
-This is the TPU-native replacement for everything the reference does
-with rayon worker pools and flume channels (SURVEY §2.3's required
-equivalence table).
+This replaces the reference's rayon worker pools + flume channels
+(src/main.rs:103-106, src/prepare.rs:169-920) per SURVEY §2.3's
+equivalence table.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from genomic_pca_tpu.ops import pallas_kernels as pk
 from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
 
 MISSING = -127
-_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_PRECISION)
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _standardize(g_i8, mean, inv_std):
     g = g_i8.astype(jnp.float32)
-    valid = g_i8 != MISSING
     x = g * inv_std[:, None] + (-mean * inv_std)[:, None]
-    return jnp.where(valid, x, 0.0)
+    return jnp.where(g_i8 != MISSING, x, 0.0)
+
+
+def _default_mode() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 class ShardedMatrix:
-    """Standardized genotype operator sharded over the variant axis."""
+    """Standardized genotype operator sharded over the variant axis.
+
+    API contract (duck-typed with ops/stream.StripedMatrix so the PCA
+    models run on either):
+      n_samples, n_rows,
+      gram_apply(B) -> (N, l), tsq_accumulate(B) -> (l, l),
+      right_apply(B) -> host (D, l).
+    """
 
     def __init__(
         self,
-        geno: jax.Array,  # (n_strips, strip, N) int8, sharded P(v, None, None)
-        mean: jax.Array,  # (n_strips, strip) f32, sharded P(v, None)
-        inv_std: jax.Array,  # (n_strips, strip) f32
+        geno: jax.Array,  # (D_pad, N_pad) int8, P(v, None)
+        mean: jax.Array,  # (D_pad, 1) f32, P(v, None)
+        inv_std: jax.Array,  # (D_pad, 1) f32, P(v, None)
         n_rows: int,
+        n_samples: int,
         mesh: Mesh,
+        mode: Optional[str] = None,
+        tile_d: int = 512,
+        kernel_precision: str = "bf16",
     ):
         self.geno = geno
         self.mean = mean
         self.inv_std = inv_std
         self.n_rows = n_rows
+        self.n_samples = n_samples
         self.mesh = mesh
-        self.n_strips, self.strip_size, self.n_samples = geno.shape
+        self.mode = mode or _default_mode()
+        self.tile_d = tile_d
+        self.kernel_precision = kernel_precision
+        self.d_pad, self.n_pad = geno.shape
         self._build_kernels()
 
     # ------------------------------------------------------------------
@@ -77,14 +100,18 @@ class ShardedMatrix:
         strip_size: int = 2048,
         center_only: bool = False,
         mesh: Optional[Mesh] = None,
+        mode: Optional[str] = None,
+        tile_d: int = 512,
+        kernel_precision: str = "bf16",
     ) -> "ShardedMatrix":
-        """Pack host int8 arrays into the sharded 3-D layout.
+        """Pack host int8 strips into the padded sharded 2-D layout.
 
         Moments are computed exactly from integer histograms when not
-        supplied (see ops/qc.py).
+        supplied; `center_only=True` sets inv_std to 1 (VCF-mode
+        center-without-scale, matching tests/pca.py:109).  `strip_size`
+        is accepted for API compatibility (the XLA fallback scans in
+        `tile_d` strips).
         """
-        from genomic_pca_tpu.ops.qc import genotype_counts
-
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
 
@@ -99,9 +126,11 @@ class ShardedMatrix:
                 m = np.asarray(means[i], dtype=np.float32)
                 s = np.asarray(stds[i], dtype=np.float32)
             else:
-                n0, n1, n2, nv = (
-                    np.asarray(a) for a in genotype_counts(jnp.asarray(g))
-                )
+                # Host-side exact integer histograms (avoids a fresh
+                # device compile per distinct strip shape at pack time).
+                n1 = (g == 1).sum(axis=1, dtype=np.int64)
+                n2 = (g == 2).sum(axis=1, dtype=np.int64)
+                nv = n1 + n2 + (g == 0).sum(axis=1, dtype=np.int64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     m = np.where(nv > 0, (n1 + 2.0 * n2) / np.maximum(nv, 1), 0.0)
                     ssd = (n1 + 4.0 * n2) - nv * m * m
@@ -118,118 +147,223 @@ class ShardedMatrix:
             raise ValueError("No strips provided.")
 
         g_all = np.concatenate(gs, axis=0)
-        m_all = np.concatenate(ms, axis=0)
-        s_all = np.concatenate(ss, axis=0)
+        m_all = np.concatenate(ms, axis=0).astype(np.float32)
+        s_all = np.concatenate(ss, axis=0).astype(np.float32)
         n_rows = g_all.shape[0]
 
-        n_strips = max(1, -(-n_rows // strip_size))
-        n_strips = -(-n_strips // n_dev) * n_dev  # round up to mesh multiple
-        pad_rows = n_strips * strip_size - n_rows
-        if pad_rows:
-            g_all = np.concatenate(
-                [g_all, np.zeros((pad_rows, n_samples), dtype=np.int8)], axis=0
-            )
-            m_all = np.concatenate([m_all, np.zeros(pad_rows, dtype=np.float32)])
-            s_all = np.concatenate([s_all, np.zeros(pad_rows, dtype=np.float32)])
-
-        inv_all = np.where(
+        d_pad = _round_up(max(n_rows, 1), tile_d * n_dev)
+        n_pad = _round_up(n_samples, 128)
+        g_pad = np.full((d_pad, n_pad), MISSING, dtype=np.int8)
+        g_pad[:n_rows, :n_samples] = g_all
+        m_pad = np.zeros((d_pad, 1), dtype=np.float32)
+        m_pad[:n_rows, 0] = m_all
+        inv_pad = np.zeros((d_pad, 1), dtype=np.float32)
+        inv_pad[:n_rows, 0] = np.where(
             s_all > 0, 1.0 / np.where(s_all > 0, s_all, 1.0), 0.0
-        ).astype(np.float32)
+        )
 
-        g3 = g_all.reshape(n_strips, strip_size, n_samples)
-        m2 = m_all.reshape(n_strips, strip_size).astype(np.float32)
-        i2 = inv_all.reshape(n_strips, strip_size)
-
-        sh3 = NamedSharding(mesh, P(VARIANT_AXIS, None, None))
-        sh2 = NamedSharding(mesh, P(VARIANT_AXIS, None))
+        sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
         return ShardedMatrix(
-            geno=jax.device_put(g3, sh3),
-            mean=jax.device_put(m2, sh2),
-            inv_std=jax.device_put(i2, sh2),
+            geno=jax.device_put(g_pad, sh),
+            mean=jax.device_put(m_pad, sh),
+            inv_std=jax.device_put(inv_pad, sh),
             n_rows=n_rows,
+            n_samples=n_samples,
             mesh=mesh,
+            mode=mode,
+            tile_d=tile_d,
+            kernel_precision=kernel_precision,
         )
 
     # ------------------------------------------------------------------
+    def _local_ops(self):
+        """Local (per-shard) pass implementations for each backend mode."""
+        tile_d = self.tile_d
+        precision = self.kernel_precision
+        interpret = self.mode == "pallas_interpret"
+
+        if self.mode in ("pallas", "pallas_interpret"):
+
+            def local_gram(g, m, iv, b):
+                return pk.fused_gram_apply(
+                    g, m, iv, b, tile_d=tile_d, precision=precision,
+                    interpret=interpret,
+                )
+
+            def local_tsq(g, m, iv, b):
+                return pk.fused_tsq(
+                    g, m, iv, b, tile_d=tile_d, precision=precision,
+                    interpret=interpret,
+                )
+
+            def local_right(g, m, iv, b):
+                return pk.fused_right_apply(
+                    g, m, iv, b, tile_d=tile_d, precision=precision,
+                    interpret=interpret,
+                )
+
+        else:  # "xla": strip-scan fallback, f32 HIGHEST
+
+            def _scan(g, m, iv, b, want: str):
+                d_loc = g.shape[0]
+                n_strips = d_loc // tile_d
+                g3 = g.reshape(n_strips, tile_d, g.shape[1])
+                m2 = m.reshape(n_strips, tile_d)
+                i2 = iv.reshape(n_strips, tile_d)
+
+                if want == "right":
+                    def body(_, xs):
+                        gg, mm, ii = xs
+                        return None, _dot(_standardize(gg, mm, ii), b)
+
+                    _, out = jax.lax.scan(body, None, (g3, m2, i2))
+                    return out.reshape(d_loc, b.shape[1])
+
+                shape = (
+                    (b.shape[0], b.shape[1]) if want == "gram"
+                    else (b.shape[1], b.shape[1])
+                )
+
+                def body(acc, xs):
+                    gg, mm, ii = xs
+                    a = _standardize(gg, mm, ii)
+                    w = _dot(a, b)
+                    if want == "gram":
+                        return acc + _dot(a.T, w), None
+                    return acc + _dot(w.T, w), None
+
+                acc, _ = jax.lax.scan(
+                    body, jnp.zeros(shape, jnp.float32), (g3, m2, i2)
+                )
+                return acc
+
+            def local_gram(g, m, iv, b):
+                return _scan(g, m[:, 0], iv[:, 0], b, "gram")
+
+            def local_tsq(g, m, iv, b):
+                return _scan(g, m[:, 0], iv[:, 0], b, "tsq")
+
+            def local_right(g, m, iv, b):
+                return _scan(g, m[:, 0], iv[:, 0], b, "right")
+
+        return local_gram, local_tsq, local_right
+
     def _build_kernels(self) -> None:
         mesh = self.mesh
-        vspec = P(VARIANT_AXIS, None, None)
-        mspec = P(VARIANT_AXIS, None)
+        vspec = P(VARIANT_AXIS, None)
         rep = P(None, None)
+        local_gram, local_tsq, local_right = self._local_ops()
 
-        def local_scan(g3, m2, i2, b, want_gram: bool):
-            l = b.shape[1]
-            n = b.shape[0]
-
-            def body(acc, xs):
-                g, m, iv = xs
-                a = _standardize(g, m, iv)
-                w = _dot(a, b)  # (strip, l)
-                if want_gram:
-                    return acc + _dot(a.T, w), None
-                return acc + _dot(w.T, w), None
-
-            shape = (n, l) if want_gram else (l, l)
-            # The initial carry is device-invariant while the scanned body
-            # makes it shard-varying over "v" — pcast marks it as such for
-            # shard_map's varying-manual-axes type check.
-            init = jax.lax.pcast(
-                jnp.zeros(shape, dtype=jnp.float32), (VARIANT_AXIS,), to="varying"
-            )
-            acc, _ = jax.lax.scan(body, init, (g3, m2, i2))
-            return jax.lax.psum(acc, VARIANT_AXIS)
-
-        @jax.jit
-        @partial(
+        # check_vma=False: pallas_call outputs carry no varying-manual-axes
+        # annotation, which the vma type check can't see through.
+        smap = functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(vspec, mspec, mspec, rep),
-            out_specs=rep,
+            in_specs=(vspec, vspec, vspec, rep),
+            check_vma=False,
         )
-        def gram_apply_k(g3, m2, i2, b):
-            return local_scan(g3, m2, i2, b, want_gram=True)
+
+        @functools.partial(smap, out_specs=rep)
+        def gram_sm(g, m, iv, b):
+            return jax.lax.psum(local_gram(g, m, iv, b), VARIANT_AXIS)
+
+        @functools.partial(smap, out_specs=rep)
+        def tsq_sm(g, m, iv, b):
+            return jax.lax.psum(local_tsq(g, m, iv, b), VARIANT_AXIS)
+
+        @functools.partial(smap, out_specs=vspec)
+        def right_sm(g, m, iv, b):
+            return local_right(g, m, iv, b)
+
+        n_samples = self.n_samples
+        n_pad = self.n_pad
+        pallas = self.mode.startswith("pallas")
+
+        def pad_b(b):
+            n, ell = b.shape
+            ell_pad = _round_up(ell, 128) if pallas else ell
+            out = jnp.zeros((n_pad, ell_pad), dtype=jnp.float32)
+            return out.at[:n, :ell].set(b)
+
+        # Fully-jitted wrappers: padding, the sharded pass, and the
+        # un-padding slice form ONE executable each — a single device
+        # dispatch per pass (vital on high-latency relayed backends).
+        @jax.jit
+        def gram_k(g, m, iv, b):
+            ell = b.shape[1]
+            return gram_sm(g, m, iv, pad_b(b))[:n_samples, :ell]
 
         @jax.jit
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(vspec, mspec, mspec, rep),
-            out_specs=rep,
-        )
-        def tsq_k(g3, m2, i2, b):
-            return local_scan(g3, m2, i2, b, want_gram=False)
+        def tsq_k(g, m, iv, b):
+            ell = b.shape[1]
+            return tsq_sm(g, m, iv, pad_b(b))[:ell, :ell]
 
         @jax.jit
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(vspec, mspec, mspec, rep),
-            out_specs=vspec,
-        )
-        def right_apply_k(g3, m2, i2, b):
-            def body(_, xs):
-                g, m, iv = xs
-                a = _standardize(g, m, iv)
-                return None, _dot(a, b)
+        def right_k(g, m, iv, b):
+            ell = b.shape[1]
+            return right_sm(g, m, iv, pad_b(b))[:, :ell]
 
-            _, out = jax.lax.scan(body, None, (g3, m2, i2))
-            return out  # (local_strips, strip, l)
+        def cholqr2(t):
+            """Two-pass Cholesky-QR: MXU-only orthonormalization.
 
-        self._gram_apply_k = gram_apply_k
+            Householder QR of a tall-skinny (N, l) block is latency-bound
+            on TPU; CholQR runs as two small HIGHEST-precision matmuls +
+            an (l, l) Cholesky.  Column pre-normalization plus the second
+            pass keeps it stable up to cond(T) ~ 1e4, ample between
+            power-iteration steps; callers needing exact orthonormality
+            run one final Householder QR outside the loop.
+            """
+            eps = jnp.asarray(1e-12, jnp.float32)
+            for _ in range(2):
+                t = t / (jnp.linalg.norm(t, axis=0, keepdims=True) + eps)
+                gram = jnp.dot(
+                    t.T, t, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                ell = gram.shape[0]
+                r = jnp.linalg.cholesky(
+                    gram + 1e-6 * jnp.eye(ell, dtype=jnp.float32)
+                )
+                t = jax.lax.linalg.triangular_solve(
+                    r, t, left_side=False, lower=True, transpose_a=True
+                )
+            return t
+
+        # Whole power-iteration loop on device: n_iter x (gram -> CholQR).
+        @functools.partial(jax.jit, static_argnames=("n_iter",))
+        def power_k(g, m, iv, b, n_iter):
+            bp = pad_b(b)
+
+            def body(_, cur):
+                t = gram_sm(g, m, iv, cur)
+                t = t.at[n_samples:, :].set(0.0)
+                return cholqr2(t)
+
+            out = jax.lax.fori_loop(0, n_iter, body, bp)
+            # One exact Householder QR to finish.
+            q, _ = jnp.linalg.qr(out)
+            return q[:n_samples, : b.shape[1]]
+
+        self._gram_k = gram_k
         self._tsq_k = tsq_k
-        self._right_apply_k = right_apply_k
+        self._right_k = right_k
+        self._power_k = power_k
 
-    # ---- public passes ----------------------------------------------
+    # ---- public passes (each ONE device dispatch) --------------------
     def gram_apply(self, b: jax.Array) -> jax.Array:
-        """A^T (A B): (N, l), replicated."""
-        return self._gram_apply_k(self.geno, self.mean, self.inv_std, b)
+        """A^T (A B): (n_samples, l), replicated."""
+        return self._gram_k(self.geno, self.mean, self.inv_std, b)
 
     def tsq_accumulate(self, b: jax.Array) -> jax.Array:
         """(A B)^T (A B): (l, l), replicated."""
         return self._tsq_k(self.geno, self.mean, self.inv_std, b)
 
     def right_apply(self, b: jax.Array) -> np.ndarray:
-        """A B on host with padding removed: (D, l)."""
-        out = self._right_apply_k(self.geno, self.mean, self.inv_std, b)
-        flat = np.asarray(out).reshape(self.n_strips * self.strip_size, -1)
-        return flat[: self.n_rows]
+        """A B on host with padding removed: (n_rows, l)."""
+        out = self._right_k(self.geno, self.mean, self.inv_std, b)
+        return np.asarray(out)[: self.n_rows]
+
+    def power_iterate(self, b0: jax.Array, n_iter: int) -> jax.Array:
+        """n_iter x (B <- qr(A^T A B)) entirely on device: (n_samples, l)
+        orthonormal basis.  One dispatch for the whole loop."""
+        return self._power_k(self.geno, self.mean, self.inv_std, b0, n_iter)

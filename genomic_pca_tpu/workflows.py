@@ -23,7 +23,7 @@ from genomic_pca_tpu.io.writers import (
 from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
 from genomic_pca_tpu.models.pca import streamed_pca
 from genomic_pca_tpu.models.prepare import prepare_data
-from genomic_pca_tpu.ops.stream import StripedMatrix
+from genomic_pca_tpu.parallel.sharded import ShardedMatrix
 from genomic_pca_tpu.utils.timing import StageTimer
 
 log = logging.getLogger(__name__)
@@ -55,12 +55,14 @@ def run_vcf_workflow(
         )
 
     with timer.stage("Matrix assembly (device strips)"):
-        matrix = StripedMatrix.from_arrays(strips, center_only=True)
+        matrix = ShardedMatrix.from_arrays(strips, center_only=True)
     log.info(
-        "Assembled %d variants x %d samples across %d device strips.",
+        "Assembled %d variants x %d samples (padded to %d x %d, %d-way sharded).",
         matrix.n_rows,
         matrix.n_samples,
-        len(matrix.strips),
+        matrix.d_pad,
+        matrix.n_pad,
+        matrix.mesh.devices.size,
     )
 
     with timer.stage("Randomized PCA (rfit)"):

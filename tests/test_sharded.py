@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from genomic_pca_tpu.models.pca import streamed_pca
 from genomic_pca_tpu.ops.stream import StripedMatrix
@@ -15,10 +16,15 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+def _build(geno, mesh, mode="xla", tile_d=64, **kw):
+    return ShardedMatrix.from_arrays(
+        iter([geno]), mesh=mesh, mode=mode, tile_d=tile_d, **kw
+    )
+
+
 def test_sharded_matches_striped(rng):
     geno = make_genotypes(rng, 500, 40, missing_rate=0.02)
-    mesh = make_mesh()
-    sm = ShardedMatrix.from_arrays(iter([geno]), strip_size=64, mesh=mesh)
+    sm = _build(geno, make_mesh())
     ref = StripedMatrix.from_arrays(iter([geno]), strip_size=64)
     b = jnp.asarray(rng.standard_normal((40, 6)).astype(np.float32))
 
@@ -35,13 +41,29 @@ def test_sharded_matches_striped(rng):
     )
 
 
+def test_pallas_interpret_matches_xla(rng):
+    geno = make_genotypes(rng, 300, 30, missing_rate=0.03)
+    mesh = make_mesh()
+    sm_x = _build(geno, mesh, mode="xla")
+    sm_p = _build(geno, mesh, mode="pallas_interpret", kernel_precision="f32")
+    b = jnp.asarray(rng.standard_normal((30, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sm_p.gram_apply(b)), np.asarray(sm_x.gram_apply(b)),
+        rtol=1e-4, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm_p.tsq_accumulate(b)), np.asarray(sm_x.tsq_accumulate(b)),
+        rtol=1e-4, atol=1e-1,
+    )
+    np.testing.assert_allclose(
+        sm_p.right_apply(b), sm_x.right_apply(b), rtol=1e-4, atol=1e-2
+    )
+
+
 def test_sharded_device_count_invariance(rng):
-    """Same bits regardless of mesh size (1 vs 8 devices) up to f32 assoc."""
     geno = make_genotypes(rng, 300, 30)
-    mesh1 = make_mesh(jax.devices()[:1])
-    mesh8 = make_mesh()
-    sm1 = ShardedMatrix.from_arrays(iter([geno]), strip_size=64, mesh=mesh1)
-    sm8 = ShardedMatrix.from_arrays(iter([geno]), strip_size=64, mesh=mesh8)
+    sm1 = _build(geno, make_mesh(jax.devices()[:1]))
+    sm8 = _build(geno, make_mesh())
     b = jnp.asarray(rng.standard_normal((30, 4)).astype(np.float32))
     np.testing.assert_allclose(
         np.asarray(sm1.gram_apply(b)), np.asarray(sm8.gram_apply(b)),
@@ -51,8 +73,7 @@ def test_sharded_device_count_invariance(rng):
 
 def test_streamed_pca_on_sharded_matrix(rng):
     geno = make_genotypes(rng, 600, 50, n_pops=6, fst=0.25)
-    mesh = make_mesh()
-    sm = ShardedMatrix.from_arrays(iter([geno]), strip_size=128, mesh=mesh)
+    sm = _build(geno, make_mesh())
     ref = StripedMatrix.from_arrays(iter([geno]), strip_size=128)
     r_sh = streamed_pca(sm, k=4, n_power_iter=6, seed=3, compute_loadings=True)
     r_st = streamed_pca(ref, k=4, n_power_iter=6, seed=3, compute_loadings=True)
@@ -65,12 +86,26 @@ def test_streamed_pca_on_sharded_matrix(rng):
     assert r_sh.loadings.shape == (600, 4)
 
 
-def test_padding_to_mesh_multiple(rng):
-    # 70 rows, strip 64 -> 2 strips -> rounded to 8 strips on 8 devices
+def test_padding_shapes(rng):
+    # 70 rows, tile 64, 8 devices -> d_pad = 512; 20 samples -> n_pad 128
     geno = make_genotypes(rng, 70, 20)
-    sm = ShardedMatrix.from_arrays(iter([geno]), strip_size=64, mesh=make_mesh())
-    assert sm.n_strips % 8 == 0
-    assert sm.n_rows == 70
+    sm = _build(geno, make_mesh())
+    assert sm.d_pad % (8 * sm.tile_d) == 0
+    assert sm.n_pad % 128 == 0
+    assert sm.n_rows == 70 and sm.n_samples == 20
     b = jnp.asarray(rng.standard_normal((20, 3)).astype(np.float32))
-    out = sm.right_apply(b)
-    assert out.shape == (70, 3)
+    assert sm.right_apply(b).shape == (70, 3)
+    assert np.asarray(sm.gram_apply(b)).shape == (20, 3)
+    assert np.asarray(sm.tsq_accumulate(b)).shape == (3, 3)
+
+
+def test_missing_sample_padding_inert(rng):
+    """Padded sample columns must not affect results."""
+    geno = make_genotypes(rng, 100, 20)
+    sm = _build(geno, make_mesh())
+    ref = StripedMatrix.from_arrays(iter([geno]), strip_size=64)
+    b = jnp.asarray(rng.standard_normal((20, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sm.gram_apply(b)), np.asarray(ref.gram_apply(b)),
+        rtol=1e-4, atol=1e-2,
+    )
