@@ -158,8 +158,21 @@ class BedReader:
             if step != 1:
                 snp_indices = np.arange(start, stop, step)
             else:
-                # Contiguous fast path: one mmap slice, one LUT gather.
+                # Contiguous fast path.
                 nsel = stop - start
+                if nsel >= 1024:
+                    from genomic_pca_tpu.io.native import decode_bed_native
+
+                    offs = 3 + np.arange(start, stop, dtype=np.int64) * bps
+                    geno = decode_bed_native(
+                        self._mmap, offs, bps, self.n_samples, count_a1
+                    )
+                    if geno is not None:
+                        if sample_indices is not None:
+                            geno = np.ascontiguousarray(
+                                geno[:, np.asarray(sample_indices)]
+                            )
+                        return geno
                 raw = np.asarray(
                     self._mmap[3 + start * bps : 3 + stop * bps]
                 ).reshape(nsel, bps)
@@ -170,7 +183,22 @@ class BedReader:
 
         snp_indices = np.asarray(snp_indices, dtype=np.int64)
         offsets = 3 + snp_indices * bps
-        # Gather the per-SNP byte rows (mmap handles sparse page touch).
+
+        # Native multithreaded decode when available and worthwhile.
+        if len(snp_indices) >= 1024:
+            from genomic_pca_tpu.io.native import decode_bed_native
+
+            geno = decode_bed_native(
+                self._mmap, offsets, bps, self.n_samples, count_a1
+            )
+            if geno is not None:
+                if sample_indices is not None:
+                    geno = np.ascontiguousarray(
+                        geno[:, np.asarray(sample_indices)]
+                    )
+                return geno
+
+        # numpy gather fallback (mmap handles sparse page touch).
         raw = np.empty((len(snp_indices), bps), dtype=np.uint8)
         mm = self._mmap
         for i, off in enumerate(offsets):

@@ -1,0 +1,132 @@
+"""ctypes bindings for the native host decode library (native/plinkio.cpp).
+
+Builds lazily with make/g++ on first use if the shared object is absent;
+every caller must handle `get_lib() is None` and fall back to the pure
+numpy/Python paths (identical semantics, covered by equivalence tests).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libplinkio.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.plinkio_decode_bed.argtypes = [
+        ctypes.c_void_p,  # packed
+        ctypes.c_void_p,  # snp_offsets (int64*)
+        ctypes.c_int64,  # n_rows
+        ctypes.c_int64,  # bytes_per_snp
+        ctypes.c_int64,  # n_samples
+        ctypes.c_int,  # count_a1
+        ctypes.c_int,  # n_threads
+        ctypes.c_void_p,  # out
+    ]
+    lib.plinkio_decode_bed.restype = None
+    lib.plinkio_parse_vcf_lines.argtypes = [
+        ctypes.c_char_p,  # buf
+        ctypes.c_int64,  # len
+        ctypes.c_int64,  # n_samples
+        ctypes.c_int64,  # max_lines
+        ctypes.c_void_p,  # dosages
+        ctypes.c_void_p,  # keep
+        ctypes.c_void_p,  # line_starts
+    ]
+    lib.plinkio_parse_vcf_lines.restype = ctypes.c_int64
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception as e:  # toolchain absent or build failure
+                log.info("Native plinkio build unavailable (%s); using numpy paths.", e)
+                return None
+        try:
+            _lib = _configure(ctypes.CDLL(_LIB_PATH))
+            log.debug("Loaded native plinkio from %s", _LIB_PATH)
+        except OSError as e:
+            log.info("Could not load native plinkio (%s); using numpy paths.", e)
+            _lib = None
+        return _lib
+
+
+def decode_bed_native(
+    packed: np.ndarray,
+    snp_offsets: np.ndarray,
+    bytes_per_snp: int,
+    n_samples: int,
+    count_a1: bool,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Multithreaded 2-bit decode; None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows = len(snp_offsets)
+    out = np.empty((n_rows, n_samples), dtype=np.int8)
+    offsets = np.ascontiguousarray(snp_offsets, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.plinkio_decode_bed(
+        packed.ctypes.data,
+        offsets.ctypes.data,
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(bytes_per_snp),
+        ctypes.c_int64(n_samples),
+        ctypes.c_int(1 if count_a1 else 0),
+        ctypes.c_int(n_threads),
+        out.ctypes.data,
+    )
+    return out
+
+
+def parse_vcf_lines_native(
+    buf: bytes, n_samples: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Parse VCF data lines; returns (dosages, keep, line_starts, n_lines)
+    or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    max_lines = buf.count(b"\n") + 1
+    dosages = np.empty((max_lines, n_samples), dtype=np.int8)
+    keep = np.zeros(max_lines, dtype=np.uint8)
+    line_starts = np.zeros(max_lines, dtype=np.int64)
+    n_lines = lib.plinkio_parse_vcf_lines(
+        buf,
+        ctypes.c_int64(len(buf)),
+        ctypes.c_int64(n_samples),
+        ctypes.c_int64(max_lines),
+        dosages.ctypes.data,
+        keep.ctypes.data,
+        line_starts.ctypes.data,
+    )
+    return dosages, keep, line_starts, int(n_lines)

@@ -155,6 +155,65 @@ def process_single_vcf(
 
     ids: List[str] = []
     rows: List[np.ndarray] = []
+
+    # Native bulk parse: stream the body in chunks of complete lines
+    # through the C++ tokenizer (native/plinkio.cpp), applying the MAF
+    # gate vectorized per chunk.  Falls back to the per-line Python
+    # parser below when the native library is unavailable.
+    from genomic_pca_tpu.io.native import get_lib, parse_vcf_lines_native
+
+    if get_lib() is not None:
+        chunk_bytes = 64 << 20
+        with _open_text(path) as fh:
+            # Skip header lines.
+            for raw in fh:
+                if raw.startswith(b"#CHROM"):
+                    break
+            carry = b""
+            while True:
+                data = fh.read(chunk_bytes)
+                if not data and not carry:
+                    break
+                buf = carry + data
+                if data:
+                    cut = buf.rfind(b"\n")
+                    if cut < 0:
+                        carry = buf
+                        continue
+                    carry = buf[cut + 1 :]
+                    buf = buf[: cut + 1]
+                else:
+                    carry = b""
+                if not buf:
+                    continue
+                parsed = parse_vcf_lines_native(buf, n_samples)
+                dosages, keep, line_starts, n_lines = parsed
+                kept_idx = np.nonzero(keep[:n_lines])[0]
+                if len(kept_idx) == 0:
+                    continue
+                kept_dos = dosages[kept_idx]
+                sums = kept_dos.sum(axis=1, dtype=np.int64).astype(np.float64)
+                freq = sums / two_n
+                maf = np.minimum(freq, 1.0 - freq)
+                pass_maf = maf >= threshold
+                for j in np.nonzero(pass_maf)[0]:
+                    li = kept_idx[j]
+                    start = line_starts[li]
+                    endb = buf.find(b"\n", start)
+                    fields = buf[start : endb if endb >= 0 else len(buf)].split(
+                        b"\t", 5
+                    )
+                    ids.append(
+                        f"{fields[0].decode()}:{fields[1].decode()}:"
+                        f"{fields[3].decode()}:{fields[4].decode()}"
+                    )
+                rows.append(np.ascontiguousarray(kept_dos[pass_maf]))
+        if not rows:
+            return None
+        return VcfVariantBlock(
+            ids=ids, dosages=np.concatenate(rows, axis=0).astype(np.int8)
+        )
+
     fast_region_len = 4 * n_samples - 1
 
     with _open_text(path) as fh:

@@ -1,0 +1,198 @@
+// Native host-side decoders for the genomic_pca_tpu data path.
+//
+// TPU-native equivalents of the reference's native ingest dependencies:
+//  * bed-reader (PLINK .bed 2-bit decode, /root/reference/src/prepare.rs:622-629)
+//  * noodles-vcf GT tokenization (/root/reference/src/vcf.rs:103-279)
+//
+// Exposed as a C ABI for ctypes (no pybind11 in the build image).
+// Compile: g++ -O3 -march=native -shared -fPIC -o libplinkio.so plinkio.cpp -lpthread
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// 256 x 4 genotype lookup tables (PLINK1 2-bit codes, low bits first).
+// Codes: 00=hom A1, 01=missing, 10=het, 11=hom A2.
+struct Luts {
+  int8_t a1[256][4];  // count_A1: 00->2, 10->1, 11->0, 01->-127
+  int8_t a2[256][4];  // count_A2: 00->0, 10->1, 11->2, 01->-127
+  Luts() {
+    const int8_t map_a1[4] = {2, -127, 1, 0};
+    const int8_t map_a2[4] = {0, -127, 1, 2};
+    for (int byte = 0; byte < 256; ++byte) {
+      for (int pos = 0; pos < 4; ++pos) {
+        int code = (byte >> (2 * pos)) & 0b11;
+        a1[byte][pos] = map_a1[code];
+        a2[byte][pos] = map_a2[code];
+      }
+    }
+  }
+};
+const Luts kLuts;
+
+void decode_rows(const uint8_t* packed, const int64_t* snp_offsets,
+                 int64_t row_begin, int64_t row_end, int64_t bytes_per_snp,
+                 int64_t n_samples, int count_a1, int8_t* out) {
+  const auto& lut = count_a1 ? kLuts.a1 : kLuts.a2;
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    const uint8_t* src = packed + snp_offsets[r];
+    int8_t* dst = out + r * n_samples;
+    int64_t full = n_samples / 4;
+    for (int64_t b = 0; b < full; ++b) {
+      std::memcpy(dst + b * 4, lut[src[b]], 4);
+    }
+    int64_t rem = n_samples - full * 4;
+    if (rem > 0) {
+      const int8_t* last = lut[src[full]];
+      for (int64_t k = 0; k < rem; ++k) dst[full * 4 + k] = last[k];
+    }
+    (void)bytes_per_snp;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode selected SNP rows of a SNP-major .bed byte block into int8
+// dosages (missing = -127).  `snp_offsets[i]` is the byte offset of row
+// i's packed data within `packed`.  Parallel over rows.
+void plinkio_decode_bed(const uint8_t* packed, const int64_t* snp_offsets,
+                        int64_t n_rows, int64_t bytes_per_snp,
+                        int64_t n_samples, int count_a1, int n_threads,
+                        int8_t* out) {
+  if (n_threads <= 1 || n_rows < 256) {
+    decode_rows(packed, snp_offsets, 0, n_rows, bytes_per_snp, n_samples,
+                count_a1, out);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t begin = t * chunk;
+    int64_t end = std::min(n_rows, begin + chunk);
+    if (begin >= end) break;
+    workers.emplace_back(decode_rows, packed, snp_offsets, begin, end,
+                         bytes_per_snp, n_samples, count_a1, out);
+  }
+  for (auto& w : workers) w.join();
+}
+
+// ---------------------------------------------------------------------------
+// VCF record parsing.
+//
+// Parses a buffer of complete VCF data lines (no header lines) with the
+// reference's exact drop semantics (src/vcf.rs:103-279): bi-allelic
+// single-base REF/ALT SNPs only; GT must be a 3-byte diploid "a{/|}b"
+// with alleles in {0,1}; any bad/missing sample GT drops the variant.
+//
+// Outputs, per input line i in [0, n_lines):
+//   keep[i]      = 1 if the variant survives (dosages written), else 0
+//   dosages      = row-major int8 (n_lines x n_samples); only kept rows valid
+//   line_starts  = byte offset of each line (for the caller to extract
+//                  CHROM/POS/REF/ALT of kept lines)
+// Returns the number of lines found (<= max_lines).
+int64_t plinkio_parse_vcf_lines(const char* buf, int64_t len,
+                                int64_t n_samples, int64_t max_lines,
+                                int8_t* dosages, uint8_t* keep,
+                                int64_t* line_starts) {
+  int64_t n_lines = 0;
+  int64_t pos = 0;
+  while (pos < len && n_lines < max_lines) {
+    int64_t line_start = pos;
+    const char* nl = static_cast<const char*>(
+        std::memchr(buf + pos, '\n', static_cast<size_t>(len - pos)));
+    int64_t line_end = nl ? (nl - buf) : len;
+    pos = line_end + 1;
+    if (line_end > line_start && buf[line_end - 1] == '\r') --line_end;
+    if (line_end == line_start) continue;  // blank
+
+    int64_t row = n_lines++;
+    line_starts[row] = line_start;
+    keep[row] = 0;
+
+    // Walk the first 9 tab-separated fields.
+    const char* p = buf + line_start;
+    const char* end = buf + line_end;
+    const char* fields[9];
+    int nf = 0;
+    fields[nf++] = p;
+    for (const char* q = p; q < end && nf < 9; ++q) {
+      if (*q == '\t') fields[nf++] = q + 1;
+    }
+    if (nf < 9) continue;
+    // REF = field 3, ALT = field 4, FORMAT = field 8.
+    const char* ref = fields[3];
+    const char* alt = fields[4];
+    auto field_len = [&](int idx) {
+      const char* s = fields[idx];
+      const char* e = (idx + 1 < nf) ? fields[idx + 1] - 1 : end;
+      return static_cast<int64_t>(e - s);
+    };
+    if (field_len(3) != 1 || field_len(4) != 1) continue;
+    auto is_base = [](char c) {
+      switch (c) {
+        case 'A': case 'C': case 'G': case 'T':
+        case 'a': case 'c': case 'g': case 't':
+          return true;
+        default:
+          return false;
+      }
+    };
+    if (!is_base(ref[0]) || !is_base(alt[0])) continue;
+
+    // FORMAT field: find GT position among ':'-separated keys.
+    const char* fmt = fields[8];
+    const char* fmt_end = fmt;
+    while (fmt_end < end && *fmt_end != '\t') ++fmt_end;
+    int gt_index = -1, fi = 0;
+    for (const char* q = fmt; q < fmt_end;) {
+      const char* key = q;
+      while (q < fmt_end && *q != ':') ++q;
+      if (q - key == 2 && key[0] == 'G' && key[1] == 'T') {
+        gt_index = fi;
+        break;
+      }
+      ++fi;
+      if (q < fmt_end) ++q;
+    }
+    if (gt_index < 0) continue;
+
+    // Sample fields.
+    const char* s = (fmt_end < end) ? fmt_end + 1 : end;
+    int8_t* drow = dosages + row * n_samples;
+    int64_t sample = 0;
+    bool bad = false;
+    while (sample < n_samples) {
+      const char* fstart = s;
+      while (s < end && *s != '\t') ++s;
+      const char* fend = s;
+      // Locate the GT sub-field.
+      const char* g = fstart;
+      for (int skip = 0; skip < gt_index; ++skip) {
+        while (g < fend && *g != ':') ++g;
+        if (g < fend) ++g; else { bad = true; break; }
+      }
+      if (bad) break;
+      const char* gend = g;
+      while (gend < fend && *gend != ':') ++gend;
+      if (gend - g != 3 || (g[1] != '/' && g[1] != '|')) { bad = true; break; }
+      int a = (g[0] == '0') ? 0 : (g[0] == '1') ? 1 : -1;
+      int b = (g[2] == '0') ? 0 : (g[2] == '1') ? 1 : -1;
+      if (a < 0 || b < 0) { bad = true; break; }
+      drow[sample++] = static_cast<int8_t>(a + b);
+      if (s < end) ++s;  // skip tab
+      else break;
+    }
+    if (bad || sample != n_samples) continue;
+    if (s < end) continue;  // more sample fields than expected -> drop
+    keep[row] = 1;
+  }
+  return n_lines;
+}
+
+}  // extern "C"
