@@ -141,6 +141,38 @@ class PreparedData:
             gen, means=means, stds=stds, strip_size=strip_size, device=device
         )
 
+    def load_streaming_matrix(self, strip_size: int = 2048, **kw):
+        """Host-streamed operator for datasets exceeding device HBM:
+        strips decode from the BED per pass through the prefetch
+        pipeline (io/prefetch.py)."""
+        from genomic_pca_tpu.ops.streaming import StreamingMatrix
+
+        n_strips = max(1, -(-self.n_pca_snps // strip_size))
+
+        def source(i: int):
+            start = i * strip_size
+            end = min(start + strip_size, self.n_pca_snps)
+            orig = self.pca_snp_orig_indices[start:end]
+            raw = self.bed.read(orig, self.qc_sample_indices)
+            self._check_missing_policy(raw)
+            m = self.mean[start:end]
+            s = self.std[start:end]
+            if end - start < strip_size:  # pad rows, inert (std=0)
+                pad = strip_size - (end - start)
+                raw = np.pad(raw, ((0, pad), (0, 0)))
+                m = np.pad(m, (0, pad))
+                s = np.pad(s, (0, pad))
+            return raw, m, s
+
+        return StreamingMatrix(
+            source,
+            n_strips=n_strips,
+            n_rows=self.n_pca_snps,
+            n_samples=self.n_samples,
+            strip_size=strip_size,
+            **kw,
+        )
+
     def load_matrix(self, strip_size: int = 2048, mesh=None):
         """Materialize A as the production variant-sharded container
         (Pallas kernels on TPU, shard_map + psum across the mesh)."""

@@ -1,0 +1,112 @@
+"""Prefetch pipeline and host-streamed matrix tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+from genomic_pca_tpu.io.prefetch import StripPrefetcher
+from genomic_pca_tpu.models.pca import streamed_pca
+from genomic_pca_tpu.ops.stream import StripedMatrix
+from tests.conftest import make_genotypes
+
+
+def test_prefetcher_in_order_delivery():
+    def fetch(i):
+        time.sleep(0.001 * ((i * 7) % 3))  # jittered latencies
+        return i * 10, 4
+
+    p = StripPrefetcher(fetch, 50, depth=4, max_workers=3)
+    got = list(p)
+    assert got == [i * 10 for i in range(50)]
+    assert p.telemetry.strips_total == 50
+    assert p.telemetry.bytes_total == 200
+
+
+def test_prefetcher_error_propagates():
+    def fetch(i):
+        if i == 5:
+            raise RuntimeError("boom")
+        return i, 1
+
+    p = StripPrefetcher(fetch, 10, depth=2)
+    out = []
+    with pytest.raises(RuntimeError, match="boom"):
+        for x in p:
+            out.append(x)
+    assert out == [0, 1, 2, 3, 4]
+
+
+def test_prefetcher_autoscale_signal():
+    def slow_fetch(i):
+        time.sleep(0.01)
+        return i, 100
+
+    p = StripPrefetcher(slow_fetch, 30, depth=4, max_workers=4)
+    _ = list(p)
+    # slow producers should trigger scale-up
+    assert p.telemetry.workers_high_water >= 2
+    assert p.throughput_bps() >= 0.0
+
+
+def test_streaming_matrix_matches_resident(tmp_path, rng):
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.models.prepare import prepare_data
+    from genomic_pca_tpu.config import DataPrepConfig
+
+    geno = make_genotypes(rng, 300, 50, missing_rate=0.02)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, geno, bp=list(range(10, 3010, 10)))
+    blocks = tmp_path / "blocks.tsv"
+    blocks.write_text("1 1 4000\n")
+    cfg = DataPrepConfig(
+        bed_path=prefix, ld_block_path=str(blocks),
+        min_call_rate=0.5, snp_chunk_size=128,
+    )
+    prep = prepare_data(cfg)
+
+    sm_stream = prep.load_streaming_matrix(strip_size=64)
+    sm_resident = prep.load_striped_matrix(strip_size=64)
+
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rng.standard_normal((prep.n_samples, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sm_stream.gram_apply(b)),
+        np.asarray(sm_resident.gram_apply(b)),
+        rtol=1e-4, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm_stream.tsq_accumulate(b)),
+        np.asarray(sm_resident.tsq_accumulate(b)),
+        rtol=1e-4, atol=1e-1,
+    )
+    np.testing.assert_allclose(
+        sm_stream.right_apply(b), sm_resident.right_apply(b),
+        rtol=1e-4, atol=1e-2,
+    )
+    assert sm_stream.last_telemetry.strips_total > 0
+
+
+def test_streamed_pca_on_streaming_matrix(tmp_path, rng):
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.models.prepare import prepare_data
+    from genomic_pca_tpu.config import DataPrepConfig
+
+    geno = make_genotypes(rng, 400, 40, n_pops=5, fst=0.25)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, geno, bp=list(range(10, 4010, 10)))
+    blocks = tmp_path / "blocks.tsv"
+    blocks.write_text("1 1 5000\n")
+    cfg = DataPrepConfig(bed_path=prefix, ld_block_path=str(blocks))
+    prep = prepare_data(cfg)
+
+    r_stream = streamed_pca(
+        prep.load_streaming_matrix(strip_size=128), k=3, n_power_iter=5, seed=9
+    )
+    r_resident = streamed_pca(
+        prep.load_striped_matrix(strip_size=128), k=3, n_power_iter=5, seed=9
+    )
+    for j in range(3):
+        r = np.corrcoef(r_stream.scores[:, j], r_resident.scores[:, j])[0, 1]
+        assert abs(r) > 0.9999
