@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of refinement passes (default 1).")
     p.add_argument("--eigensnp-collect-diagnostics", action="store_true",
                    help="Enable detailed diagnostics collection.")
+    p.add_argument("--eigensnp-checkpoint-dir", default=None,
+                   help="Directory for stage checkpoint/resume on "
+                        "preemptible capacity (extension over the "
+                        "reference CLI).")
     return p
 
 
@@ -161,7 +165,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 refine_passes=_default(args.eigensnp_refine_passes, 1),
                 collect_diagnostics=args.eigensnp_collect_diagnostics,
             )
-            run_eigensnp_workflow(prep_cfg, algo_cfg, args.output_prefix)
+            run_eigensnp_workflow(
+                prep_cfg, algo_cfg, args.output_prefix,
+                checkpoint_dir=args.eigensnp_checkpoint_dir,
+            )
         else:
             run_vcf_workflow(
                 vcf_dir=args.vcf_dir,

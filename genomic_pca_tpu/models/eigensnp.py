@@ -78,8 +78,15 @@ def compute_eigensnp_pca(
     prep: PreparedData,
     cfg: EigenSnpConfig,
     strip_size: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> EigenSnpResult:
-    """Run the full two-stage pipeline on prepared data."""
+    """Run the full two-stage pipeline on prepared data.
+
+    `checkpoint_dir` enables stage checkpoint/resume for preemptible
+    runs (utils/checkpoint.py — capability absent in the reference).
+    """
+    from genomic_pca_tpu.utils.checkpoint import StageCheckpointer, fingerprint
+
     n = prep.n_samples
     d = prep.n_pca_snps
     if d == 0 or not prep.blocks:
@@ -87,39 +94,52 @@ def compute_eigensnp_pca(
     k = min(cfg.k_global, max(n - 1, 1), d)
     strip_size = strip_size or cfg.snp_strip_size
 
+    ckpt = StageCheckpointer(
+        checkpoint_dir,
+        fingerprint(cfg, n, d, [b.tag for b in prep.blocks]),
+    )
+
     diag: Optional[Dict] = {"blocks": []} if cfg.collect_diagnostics else None
 
     # ---- Stage 1: local bases on the sample subset -------------------
     subset = _choose_sample_subset(cfg, n)
-    log.info(
-        "EigenSNP stage 1: %d blocks, sample subset %d / %d.",
-        len(prep.blocks),
-        len(subset),
-        n,
-    )
     local_bases: List[np.ndarray] = []  # U_b, (d_b, c_b) each
-    for b_idx, block in enumerate(prep.blocks):
-        d_b = len(block.pca_snp_ids)
-        c_b = min(cfg.components_per_block, d_b, len(subset))
-        x_sub = prep.fetch_block_standardized(block.pca_snp_ids, subset)
-        key = key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=b_idx + 1)
-        u_b, s_b, _ = rsvd(
-            _pad_rows(x_sub),
-            key,
-            k=c_b,
-            n_oversamples=cfg.local_oversampling,
-            n_power_iter=cfg.local_power_iter,
+    saved = ckpt.load("stage1_bases")
+    if saved is not None and len(saved) == len(prep.blocks):
+        local_bases = [saved[f"block_{i}"] for i in range(len(prep.blocks))]
+    else:
+        log.info(
+            "EigenSNP stage 1: %d blocks, sample subset %d / %d.",
+            len(prep.blocks),
+            len(subset),
+            n,
         )
-        local_bases.append(np.asarray(u_b)[:d_b])
-        if diag is not None:
-            diag["blocks"].append(
-                {
-                    "tag": block.tag,
-                    "num_snps": int(d_b),
-                    "num_local_components": int(c_b),
-                    "local_singular_values": np.asarray(s_b).tolist(),
-                }
+        for b_idx, block in enumerate(prep.blocks):
+            d_b = len(block.pca_snp_ids)
+            c_b = min(cfg.components_per_block, d_b, len(subset))
+            x_sub = prep.fetch_block_standardized(block.pca_snp_ids, subset)
+            key = key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=b_idx + 1)
+            u_b, s_b, _ = rsvd(
+                _pad_rows(x_sub),
+                key,
+                k=c_b,
+                n_oversamples=cfg.local_oversampling,
+                n_power_iter=cfg.local_power_iter,
             )
+            local_bases.append(np.asarray(u_b)[:d_b])
+            if diag is not None:
+                diag["blocks"].append(
+                    {
+                        "tag": block.tag,
+                        "num_snps": int(d_b),
+                        "num_local_components": int(c_b),
+                        "local_singular_values": np.asarray(s_b).tolist(),
+                    }
+                )
+        ckpt.save(
+            "stage1_bases",
+            {f"block_{i}": u for i, u in enumerate(local_bases)},
+        )
 
     # ---- Stage 2: condensed projection + global PCA ------------------
     condensed: List[jax.Array] = []
@@ -129,21 +149,46 @@ def compute_eigensnp_pca(
     y = jnp.concatenate(condensed, axis=0)  # (C_total, N)
     log.info("EigenSNP stage 2: condensed matrix %s.", tuple(y.shape))
 
-    gkey = key_for_stage(cfg.seed, "eigensnp_global_sketch")
-    _, _, vt_g = rsvd(
-        y,
-        gkey,
-        k=k,
-        n_oversamples=cfg.global_oversampling,
-        n_power_iter=cfg.global_power_iter,
-    )
-    s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) orthonormal score basis
+    c_total = int(y.shape[0])
+    if c_total < k:
+        log.warning(
+            "Condensed feature rank %d < requested k_global %d; "
+            "returning %d components (raise components_per_block or add "
+            "LD blocks for more).",
+            c_total,
+            k,
+            c_total,
+        )
+        k = c_total
+
+    saved = ckpt.load("stage2_basis")
+    if saved is not None:
+        s_basis = jnp.asarray(saved["s_basis"])
+    else:
+        gkey = key_for_stage(cfg.seed, "eigensnp_global_sketch")
+        _, _, vt_g = rsvd(
+            y,
+            gkey,
+            k=k,
+            n_oversamples=cfg.global_oversampling,
+            n_power_iter=cfg.global_power_iter,
+        )
+        s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) orthonormal score basis
+        ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
 
     # ---- Refinement over the full standardized matrix ----------------
     a = prep.load_matrix(strip_size=strip_size)
-    for p in range(cfg.refine_passes):
+    start_pass = 0
+    for p in reversed(range(cfg.refine_passes)):
+        saved = ckpt.load(f"refine_pass_{p}")
+        if saved is not None:
+            s_basis = jnp.asarray(saved["s_basis"])
+            start_pass = p + 1
+            break
+    for p in range(start_pass, cfg.refine_passes):
         t = a.gram_apply(s_basis)  # A^T A S, one streamed pass
         s_basis, _ = jnp.linalg.qr(t)
+        ckpt.save(f"refine_pass_{p}", {"s_basis": np.asarray(s_basis)})
         log.info("EigenSNP refinement pass %d/%d done.", p + 1, cfg.refine_passes)
 
     # ---- Final small eigensolve + loadings ---------------------------

@@ -88,6 +88,7 @@ def run_eigensnp_workflow(
     prep_config: DataPrepConfig,
     algo_config: EigenSnpConfig,
     output_prefix: str,
+    checkpoint_dir: Optional[str] = None,
 ) -> None:
     """BED/LD-block -> QC -> two-stage EigenSNP PCA -> TSVs.
 
@@ -101,7 +102,9 @@ def run_eigensnp_workflow(
         prep = prepare_data(prep_config)
 
     with timer.stage("EigenSNP core algorithm"):
-        result = compute_eigensnp_pca(prep, algo_config)
+        result = compute_eigensnp_pca(
+            prep, algo_config, checkpoint_dir=checkpoint_dir
+        )
 
     with timer.stage("Output writing"):
         write_principal_components(

@@ -1,0 +1,79 @@
+"""Stage checkpoint/resume tests."""
+
+import numpy as np
+import pytest
+
+from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
+from genomic_pca_tpu.models.prepare import prepare_data
+from genomic_pca_tpu.io.bed import write_plink
+from genomic_pca_tpu.utils.checkpoint import StageCheckpointer, fingerprint
+from tests.conftest import make_genotypes
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    ck = StageCheckpointer(str(tmp_path / "ck"), "abcd1234")
+    arrays = {"x": np.arange(6).reshape(2, 3), "y": np.ones(4, dtype=np.float32)}
+    ck.save("stage1", arrays)
+    loaded = ck.load("stage1")
+    np.testing.assert_array_equal(loaded["x"], arrays["x"])
+    np.testing.assert_array_equal(loaded["y"], arrays["y"])
+    assert ck.load("missing_stage") is None
+
+
+def test_checkpointer_fingerprint_invalidation(tmp_path):
+    d = str(tmp_path / "ck")
+    ck1 = StageCheckpointer(d, "fp_one")
+    ck1.save("stage1", {"x": np.ones(3)})
+    ck2 = StageCheckpointer(d, "fp_two")  # different config -> wipe
+    assert ck2.load("stage1") is None
+
+
+def test_checkpointer_disabled():
+    ck = StageCheckpointer(None, "fp")
+    ck.save("s", {"x": np.ones(1)})  # no-op
+    assert ck.load("s") is None
+
+
+def _setup(tmp_path, rng):
+    geno = make_genotypes(rng, 300, 40, n_pops=4, fst=0.2)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, geno, bp=list(range(10, 3010, 10)))
+    blocks = tmp_path / "blocks.tsv"
+    blocks.write_text("1 1 1500\n1 1501 4000\n")
+    cfg = DataPrepConfig(bed_path=prefix, ld_block_path=str(blocks), snp_chunk_size=128)
+    return prepare_data(cfg)
+
+
+def test_eigensnp_resume_identical(tmp_path, rng):
+    prep = _setup(tmp_path, rng)
+    algo = EigenSnpConfig(
+        k_global=3, min_subset_size=10, refine_passes=2, snp_strip_size=128
+    )
+    ck_dir = str(tmp_path / "ckpt")
+    r1 = compute_eigensnp_pca(prep, algo, checkpoint_dir=ck_dir)
+    # second run resumes from completed checkpoints -> identical output
+    r2 = compute_eigensnp_pca(prep, algo, checkpoint_dir=ck_dir)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+    np.testing.assert_array_equal(r1.loadings, r2.loadings)
+    # and matches a run without checkpointing
+    r3 = compute_eigensnp_pca(prep, algo)
+    np.testing.assert_allclose(r1.scores, r3.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_eigensnp_checkpoint_config_change_recomputes(tmp_path, rng):
+    prep = _setup(tmp_path, rng)
+    ck_dir = str(tmp_path / "ckpt")
+    algo1 = EigenSnpConfig(k_global=3, min_subset_size=10, snp_strip_size=128)
+    algo2 = EigenSnpConfig(k_global=4, min_subset_size=10, snp_strip_size=128)
+    compute_eigensnp_pca(prep, algo1, checkpoint_dir=ck_dir)
+    r2 = compute_eigensnp_pca(prep, algo2, checkpoint_dir=ck_dir)
+    assert r2.scores.shape[1] == 4  # stale k=3 checkpoint was invalidated
+
+
+def test_fingerprint_sensitivity():
+    cfg1 = EigenSnpConfig()
+    cfg2 = EigenSnpConfig(seed=9)
+    assert fingerprint(cfg1, 10, 100, ["a"]) != fingerprint(cfg2, 10, 100, ["a"])
+    assert fingerprint(cfg1, 10, 100, ["a"]) != fingerprint(cfg1, 11, 100, ["a"])
+    assert fingerprint(cfg1, 10, 100, ["a"]) == fingerprint(cfg1, 10, 100, ["a"])
