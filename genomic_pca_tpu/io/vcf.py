@@ -292,7 +292,13 @@ def load_vcf_directory(
                 [(p, canonical, maf_threshold) for p in paths],
             )
     else:
-        blocks = [process_single_vcf(p, canonical, maf_threshold) for p in paths]
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(paths, desc="VCF files", unit="file")
+        except ImportError:
+            iterator = paths
+        blocks = [process_single_vcf(p, canonical, maf_threshold) for p in iterator]
 
     variant_ids: List[str] = []
     strips: List[np.ndarray] = []

@@ -175,8 +175,30 @@ class PreparedData:
 
     def load_matrix(self, strip_size: int = 2048, mesh=None):
         """Materialize A as the production variant-sharded container
-        (Pallas kernels on TPU, shard_map + psum across the mesh)."""
+        (Pallas kernels on TPU, shard_map + psum across the mesh).
+
+        Multi-host: each process decodes only the BED rows its devices
+        own (`ShardedMatrix.from_local_rows`); single-host it is a plain
+        sharded pack.
+        """
+        import jax
+
         from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+
+        if jax.process_count() > 1:
+
+            def read_rows(lo: int, hi: int):
+                orig = self.pca_snp_orig_indices[lo:hi]
+                raw = self.bed.read(orig, self.qc_sample_indices)
+                self._check_missing_policy(raw)
+                return raw, self.mean[lo:hi], self.std[lo:hi]
+
+            return ShardedMatrix.from_local_rows(
+                read_rows,
+                n_rows=self.n_pca_snps,
+                n_samples=self.n_samples,
+                mesh=mesh,
+            )
 
         gen, means, stds = self._strip_gen(strip_size)
         return ShardedMatrix.from_arrays(
@@ -214,13 +236,32 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
     mean_chunks: List[np.ndarray] = []
     std_chunks: List[np.ndarray] = []
     sample_sel = None if n_qc == bed.n_samples else qc_samples
-    for start in range(0, bed.n_snps, chunk):
+    n_chunks = -(-bed.n_snps // chunk)
+    for ci, start in enumerate(range(0, bed.n_snps, chunk)):
         end = min(start + chunk, bed.n_snps)
-        raw = bed.read(slice(start, end), sample_sel)
-        qc = qc_strip(raw, n_qc, config)
+        try:
+            raw = bed.read(slice(start, end), sample_sel)
+            qc = qc_strip(raw, n_qc, config)
+        except (OSError, ValueError) as e:
+            # QC-path chunk failures are logged and skipped — the chunk's
+            # SNPs are excluded, mirroring prepare.rs:1380-1398 (accessor
+            # -path read failures later remain fatal).
+            log.warning(
+                "SNP QC chunk %d-%d failed (%s); excluding its SNPs.",
+                start, end, e,
+            )
+            keep_chunks.append(np.zeros(end - start, dtype=bool))
+            mean_chunks.append(np.zeros(end - start, dtype=np.float32))
+            std_chunks.append(np.zeros(end - start, dtype=np.float32))
+            continue
         keep_chunks.append(qc.keep)
         mean_chunks.append(qc.mean)
         std_chunks.append(qc.std)
+        if ci % 50 == 0 or ci == n_chunks - 1:
+            log.info(
+                "SNP QC progress: chunk %d/%d (%.1f%%)",
+                ci + 1, n_chunks, 100.0 * (ci + 1) / n_chunks,
+            )
         log.debug("SNP QC chunk %d-%d: kept %d", start, end, qc.n_kept)
 
     keep = np.concatenate(keep_chunks)

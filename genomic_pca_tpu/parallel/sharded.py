@@ -176,6 +176,86 @@ class ShardedMatrix:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def from_local_rows(
+        read_rows,  # Callable[[int, int], (geno, mean, std)] for global rows [lo, hi)
+        n_rows: int,
+        n_samples: int,
+        mesh: Optional[Mesh] = None,
+        mode: Optional[str] = None,
+        tile_d: int = 512,
+        kernel_precision: str = "bf16",
+        center_only: bool = False,
+    ) -> "ShardedMatrix":
+        """Multi-host constructor: each PROCESS reads only the global row
+        range its devices own (per-host BED byte-range reads, SURVEY §5
+        long-context mapping), and the global sharded array assembles via
+        `jax.make_array_from_process_local_data` — genotypes never
+        transit through a single host.
+
+        `read_rows(lo, hi)` returns host arrays for global SNP rows
+        [lo, hi) clipped to n_rows: geno int8 (hi-lo', N), mean (hi-lo',),
+        std (hi-lo',).  Works unchanged single-process.
+        """
+        mesh = mesh or make_mesh()
+        n_dev = mesh.devices.size
+        d_pad = _round_up(max(n_rows, 1), tile_d * n_dev)
+        n_pad = _round_up(n_samples, 128)
+        rows_per_dev = d_pad // n_dev
+
+        proc = jax.process_index()
+        flat = list(mesh.devices.flat)
+        local_dev_idx = [i for i, d in enumerate(flat) if d.process_index == proc]
+        if not local_dev_idx:
+            raise ValueError("This process owns no devices in the mesh.")
+        lo = min(local_dev_idx) * rows_per_dev
+        hi = (max(local_dev_idx) + 1) * rows_per_dev
+
+        read_hi = min(hi, n_rows)
+        if lo < read_hi:
+            g, m, s = read_rows(lo, read_hi)
+            g = np.asarray(g, dtype=np.int8)
+            m = np.asarray(m, dtype=np.float32)
+            s = np.asarray(s, dtype=np.float32)
+        else:
+            g = np.zeros((0, n_samples), dtype=np.int8)
+            m = np.zeros(0, dtype=np.float32)
+            s = np.zeros(0, dtype=np.float32)
+        if center_only:
+            s = np.ones_like(m)
+
+        local_rows = hi - lo
+        g_loc = np.full((local_rows, n_pad), MISSING, dtype=np.int8)
+        g_loc[: g.shape[0], :n_samples] = g
+        m_loc = np.zeros((local_rows, 1), dtype=np.float32)
+        m_loc[: len(m), 0] = m
+        inv_loc = np.zeros((local_rows, 1), dtype=np.float32)
+        inv_loc[: len(s), 0] = np.where(
+            s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0
+        )
+
+        sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
+        if jax.process_count() == 1:
+            geno = jax.device_put(g_loc, sh)
+            mean = jax.device_put(m_loc, sh)
+            inv = jax.device_put(inv_loc, sh)
+        else:
+            geno = jax.make_array_from_process_local_data(sh, g_loc, (d_pad, n_pad))
+            mean = jax.make_array_from_process_local_data(sh, m_loc, (d_pad, 1))
+            inv = jax.make_array_from_process_local_data(sh, inv_loc, (d_pad, 1))
+        return ShardedMatrix(
+            geno=geno,
+            mean=mean,
+            inv_std=inv,
+            n_rows=n_rows,
+            n_samples=n_samples,
+            mesh=mesh,
+            mode=mode,
+            tile_d=tile_d,
+            kernel_precision=kernel_precision,
+        )
+
+    # ------------------------------------------------------------------
     def _local_ops(self):
         """Local (per-shard) pass implementations for each backend mode."""
         tile_d = self.tile_d

@@ -24,6 +24,7 @@ from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
 from genomic_pca_tpu.models.pca import streamed_pca
 from genomic_pca_tpu.models.prepare import prepare_data
 from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+from genomic_pca_tpu.utils.system import preflight
 from genomic_pca_tpu.utils.timing import StageTimer
 
 log = logging.getLogger(__name__)
@@ -97,6 +98,7 @@ def run_eigensnp_workflow(
     `{prefix}.eigensnp_diagnostics.json` (main.rs:386-432).
     """
     timer = StageTimer()
+    preflight(planned_threads=16)
 
     with timer.stage("Data preparation (QC + LD mapping)"):
         prep = prepare_data(prep_config)

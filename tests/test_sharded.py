@@ -109,3 +109,35 @@ def test_missing_sample_padding_inert(rng):
         np.asarray(sm.gram_apply(b)), np.asarray(ref.gram_apply(b)),
         rtol=1e-4, atol=1e-2,
     )
+
+
+def test_from_local_rows_matches_from_arrays(rng):
+    """Single-process path through the multi-host constructor."""
+    import jax.numpy as jnp
+
+    geno = make_genotypes(rng, 200, 30, missing_rate=0.02)
+    n1 = (geno == 1).sum(axis=1)
+    n2 = (geno == 2).sum(axis=1)
+    nv = n1 + n2 + (geno == 0).sum(axis=1)
+    mean = np.where(nv > 0, (n1 + 2.0 * n2) / np.maximum(nv, 1), 0.0)
+    ssd = (n1 + 4.0 * n2) - nv * mean * mean
+    std = np.sqrt(np.where(nv >= 2, ssd / np.maximum(nv - 1, 1), 0.0))
+
+    def read_rows(lo, hi):
+        return geno[lo:hi], mean[lo:hi], std[lo:hi]
+
+    mesh = make_mesh()
+    sm_local = ShardedMatrix.from_local_rows(
+        read_rows, n_rows=200, n_samples=30, mesh=mesh, mode="xla", tile_d=64
+    )
+    sm_pack = ShardedMatrix.from_arrays(
+        iter([geno]), mesh=mesh, mode="xla", tile_d=64
+    )
+    b = jnp.asarray(rng.standard_normal((30, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sm_local.gram_apply(b)), np.asarray(sm_pack.gram_apply(b)),
+        rtol=1e-4, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        sm_local.right_apply(b), sm_pack.right_apply(b), rtol=1e-4, atol=1e-2
+    )
