@@ -126,15 +126,24 @@ def build_command(cfg: Dict, bed_file: str, ld_block_file: str) -> List[str]:
 
 
 def execute_single_run(args) -> Dict:
-    cfg, bed_file, ld_block_file = args
+    if len(args) == 4:
+        cfg, bed_file, ld_block_file, cpu_only = args
+    else:
+        cfg, bed_file, ld_block_file = args
+        cpu_only = False
     out_dir = Path(cfg["output_dir"])
     out_dir.mkdir(parents=True, exist_ok=True)
     cmd = build_command(cfg, bed_file, ld_block_file)
+    env = os.environ.copy()
+    if cpu_only:
+        # Parallel sweep jobs must not all queue on one TPU grant.
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
     t0 = time.time()
     with open(out_dir / "stdout.log", "w") as out, open(
         out_dir / "stderr.log", "w"
     ) as err:
-        proc = subprocess.run(cmd, stdout=out, stderr=err)
+        proc = subprocess.run(cmd, stdout=out, stderr=err, env=env)
     return {
         "run_id": cfg["run_id"],
         "swept_param_name": cfg["swept_param_name"],
@@ -152,6 +161,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--output-dir", default="./eigensnp_sweeps_output")
     p.add_argument("--jobs", type=int, default=max(1, (os.cpu_count() or 4) // 4))
     p.add_argument("--threads-per-job", type=int, default=2)
+    p.add_argument("--cpu", action="store_true",
+                   help="Run sweep jobs on CPU (parallel jobs would "
+                        "otherwise contend for a single TPU).")
     args = p.parse_args(argv)
 
     base_dir = Path(args.output_dir).resolve()
@@ -161,7 +173,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     summary_path = base_dir / "sweeps_summary.tsv"
     write_header = not summary_path.exists()
-    work = [(cfg, args.bed_file, args.ld_block_file) for cfg in configs]
+    work = [
+        (cfg, args.bed_file, args.ld_block_file, args.cpu) for cfg in configs
+    ]
 
     with open(summary_path, "a") as fh:
         if write_header:

@@ -9,6 +9,11 @@ time of conftest.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocesses spawned by tests (CLI end-to-end runs) must not claim the
+# shared TPU grant at interpreter start — on a single-chip pool every
+# extra process queues for minutes.  Removing the pool env here only
+# affects children (this interpreter's sitecustomize already ran).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
