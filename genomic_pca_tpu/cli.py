@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of refinement passes (default 1).")
     p.add_argument("--eigensnp-collect-diagnostics", action="store_true",
                    help="Enable detailed diagnostics collection.")
+    p.add_argument("--profile-dir", default=None,
+                   help="Capture a jax.profiler trace of the compute "
+                        "stages to this directory (XProf/TensorBoard).")
     p.add_argument("--eigensnp-checkpoint-dir", default=None,
                    help="Directory for stage checkpoint/resume on "
                         "preemptible capacity (extension over the "
@@ -139,6 +142,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
     from genomic_pca_tpu.workflows import run_eigensnp_workflow, run_vcf_workflow
 
+    from genomic_pca_tpu.utils.profiling import maybe_trace
+
     try:
         if args.eigensnp:
             prep_cfg = DataPrepConfig(
@@ -165,19 +170,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                 refine_passes=_default(args.eigensnp_refine_passes, 1),
                 collect_diagnostics=args.eigensnp_collect_diagnostics,
             )
-            run_eigensnp_workflow(
-                prep_cfg, algo_cfg, args.output_prefix,
-                checkpoint_dir=args.eigensnp_checkpoint_dir,
-            )
+            with maybe_trace(args.profile_dir):
+                run_eigensnp_workflow(
+                    prep_cfg, algo_cfg, args.output_prefix,
+                    checkpoint_dir=args.eigensnp_checkpoint_dir,
+                )
         else:
-            run_vcf_workflow(
-                vcf_dir=args.vcf_dir,
-                output_prefix=args.output_prefix,
-                k=args.components,
-                maf=args.maf,
-                rfit_seed=args.rfit_seed,
-                threads=threads,
-            )
+            with maybe_trace(args.profile_dir):
+                run_vcf_workflow(
+                    vcf_dir=args.vcf_dir,
+                    output_prefix=args.output_prefix,
+                    k=args.components,
+                    maf=args.maf,
+                    rfit_seed=args.rfit_seed,
+                    threads=threads,
+                )
     except Exception:
         log.exception("Workflow failed.")
         return 1

@@ -118,3 +118,28 @@ def streamed_pca(
         loadings=loadings,
         k=k,
     )
+
+
+def transform(
+    new_geno: np.ndarray,
+    loadings: np.ndarray,
+    mean: np.ndarray,
+    std: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Project NEW samples into the fitted PC space (PCA::transform
+    equivalent, /root/reference/src/main.rs:659-660).
+
+    `new_geno` is (n_snps, n_new_samples) int8 dosages over the SAME SNP
+    set (PcaSnpId order) the model was fitted on; `mean`/`std` are the
+    TRAINING standardization moments (std=None -> center-only, the VCF
+    workflow convention).  Missing (-127) imputes to the training mean.
+    Returns (n_new_samples, k) scores.
+    """
+    g = np.asarray(new_geno, dtype=np.float64)
+    valid = np.asarray(new_geno) != -127
+    mean = np.asarray(mean, dtype=np.float64)
+    x = np.where(valid, g, mean[:, None]) - mean[:, None]
+    if std is not None:
+        s = np.asarray(std, dtype=np.float64)
+        x /= np.where(s > 0, s, 1.0)[:, None]
+    return (x.T @ np.asarray(loadings, dtype=np.float64)).astype(np.float32)

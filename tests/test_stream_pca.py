@@ -116,3 +116,30 @@ def test_strip_padding_invariance(rng):
     np.testing.assert_allclose(
         np.asarray(sm_a.gram_apply(b)), np.asarray(sm_b.gram_apply(b)), rtol=1e-5, atol=1e-3
     )
+
+
+def test_transform_new_samples(rng):
+    """transform() projects held-out samples consistently with training."""
+    from genomic_pca_tpu.models.pca import transform
+
+    geno = make_genotypes(rng, 300, 60, n_pops=4, fst=0.3)
+    train, test = geno[:, :45], geno[:, 45:]
+    sm = StripedMatrix.from_arrays(iter([train]), strip_size=128)
+    res = streamed_pca(sm, k=3, n_power_iter=6, seed=1, compute_loadings=True)
+
+    # training moments
+    mean = train.astype(np.float64).mean(axis=1)
+    std = train.astype(np.float64).std(axis=1, ddof=1)
+
+    # projecting the training samples themselves reproduces the scores
+    self_proj = transform(train, res.loadings, mean, std)
+    for j in range(3):
+        r = np.corrcoef(self_proj[:, j], res.scores[:, j])[0, 1]
+        assert abs(r) > 0.999
+
+    # held-out samples from the same populations land in the same space
+    new_proj = transform(test, res.loadings, mean, std)
+    assert new_proj.shape == (15, 3)
+    assert np.isfinite(new_proj).all()
+    spread_train = np.std(res.scores[:, 0])
+    assert np.abs(new_proj[:, 0]).max() < 10 * spread_train * np.sqrt(300)
