@@ -55,13 +55,18 @@ class EigenSnpResult:
     diagnostics: Optional[Dict] = None
 
 
-def _pad_rows(x: jax.Array, bucket: int = 512) -> jax.Array:
-    """Zero-pad rows up to the next bucket multiple (compile-shape cap)."""
-    d = x.shape[0]
-    target = max(bucket, ((d + bucket - 1) // bucket) * bucket)
-    if target == d:
-        return x
-    return jnp.pad(x, ((0, target - d), (0, 0)))
+def _bucket_rows(d: int, bucket: int = 512) -> int:
+    """Next bucket multiple >= d (caps the number of compiled shapes)."""
+    return max(bucket, ((d + bucket - 1) // bucket) * bucket)
+
+
+@jax.jit
+def _project_block(u_b: jax.Array, x_all: jax.Array) -> jax.Array:
+    """U_b^T X_b on the MXU with pinned f32 precision: (c_b, N)."""
+    return jnp.dot(
+        u_b.T, x_all, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _choose_sample_subset(cfg: EigenSnpConfig, n_samples: int) -> np.ndarray:
@@ -117,16 +122,21 @@ def compute_eigensnp_pca(
         for b_idx, block in enumerate(prep.blocks):
             d_b = len(block.pca_snp_ids)
             c_b = min(cfg.components_per_block, d_b, len(subset))
-            x_sub = prep.fetch_block_standardized(block.pca_snp_ids, subset)
+            # Pad ragged blocks to bucketed shapes: the padded rows are
+            # exactly zero, so U keeps exact zero rows there and the
+            # padded basis can flow through stage 2 unchanged.
+            x_sub = prep.fetch_block_standardized(
+                block.pca_snp_ids, subset, pad_rows_to=_bucket_rows(d_b)
+            )
             key = key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=b_idx + 1)
             u_b, s_b, _ = rsvd(
-                _pad_rows(x_sub),
+                x_sub,
                 key,
                 k=c_b,
                 n_oversamples=cfg.local_oversampling,
                 n_power_iter=cfg.local_power_iter,
             )
-            local_bases.append(np.asarray(u_b)[:d_b])
+            local_bases.append(np.asarray(u_b))  # (bucket(d_b), c_b)
             if diag is not None:
                 diag["blocks"].append(
                     {
@@ -144,8 +154,10 @@ def compute_eigensnp_pca(
     # ---- Stage 2: condensed projection + global PCA ------------------
     condensed: List[jax.Array] = []
     for block, u_b in zip(prep.blocks, local_bases):
-        x_all = prep.fetch_block_standardized(block.pca_snp_ids)  # (d_b, N)
-        condensed.append(jnp.asarray(u_b).T @ x_all)  # (c_b, N)
+        x_all = prep.fetch_block_standardized(
+            block.pca_snp_ids, pad_rows_to=u_b.shape[0]
+        )  # (bucket(d_b), N); padded rows are zero on both sides
+        condensed.append(_project_block(jnp.asarray(u_b), x_all))  # (c_b, N)
     y = jnp.concatenate(condensed, axis=0)  # (C_total, N)
     log.info("EigenSNP stage 2: condensed matrix %s.", tuple(y.shape))
 

@@ -88,9 +88,15 @@ class PreparedData:
         self,
         pca_snp_ids: np.ndarray,
         sample_subset: Optional[np.ndarray] = None,
+        pad_rows_to: Optional[int] = None,
     ) -> jax.Array:
         """`get_standardized_snp_sample_block` equivalent
-        (prepare.rs:1838-2029): (snps, samples) f32 on device."""
+        (prepare.rs:1838-2029): (snps, samples) f32 on device.
+
+        `pad_rows_to` zero-pads the SNP dimension (inert rows: missing
+        genotypes with inv_std 0) so ragged LD blocks share a small set
+        of compiled shapes instead of one XLA program per block size.
+        """
         pca_snp_ids = np.asarray(pca_snp_ids, dtype=np.int64)
         orig = self.pca_snp_orig_indices[pca_snp_ids]
         samp = (
@@ -100,16 +106,20 @@ class PreparedData:
         )
         raw = self.bed.read(orig, samp)
         self._check_missing_policy(raw)
+        mean = self.mean[pca_snp_ids]
+        std = self.std[pca_snp_ids]
+        if pad_rows_to is not None and raw.shape[0] < pad_rows_to:
+            pad = pad_rows_to - raw.shape[0]
+            raw = np.pad(raw, ((0, pad), (0, 0)), constant_values=MISSING)
+            mean = np.pad(mean, (0, pad))
+            std = np.pad(std, (0, pad))
         import jax.numpy as jnp
 
+        inv = np.where(std > 0, 1.0 / np.where(std > 0, std, 1.0), 0.0)
         return standardize_strip(
             jnp.asarray(raw),
-            jnp.asarray(self.mean[pca_snp_ids]),
-            jnp.asarray(
-                np.where(
-                    self.std[pca_snp_ids] > 0, 1.0 / np.where(self.std[pca_snp_ids] > 0, self.std[pca_snp_ids], 1.0), 0.0
-                ).astype(np.float32)
-            ),
+            jnp.asarray(mean.astype(np.float32)),
+            jnp.asarray(inv.astype(np.float32)),
         )
 
     def _strip_gen(self, strip_size: int):

@@ -1,0 +1,170 @@
+"""End-to-end TPU validation at realistic scale.
+
+Generates a chr22-class synthetic PLINK dataset (structured populations),
+runs the full EigenSNP pipeline on the attached accelerator, and checks
+per-PC score concordance |r| against the float64 exact Gram-PCA oracle —
+the BASELINE.md acceptance bar (|r| > 0.999, sign-flip invariant).
+
+Usage: python scripts/validate_tpu.py [--snps 100000] [--samples 2500]
+Prints a JSON summary line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig  # noqa: E402
+from genomic_pca_tpu.io.bed import write_plink  # noqa: E402
+from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca  # noqa: E402
+from genomic_pca_tpu.models.exact import exact_pca_from_strips  # noqa: E402
+from genomic_pca_tpu.models.prepare import prepare_data  # noqa: E402
+
+log = logging.getLogger("validate_tpu")
+
+
+def make_structured(rng, n_snps, n_samples, n_pops=6, fst=0.15, missing=0.005):
+    ancestral = rng.uniform(0.05, 0.95, size=n_snps)
+    a = ancestral * (1 - fst) / fst
+    b = (1 - ancestral) * (1 - fst) / fst
+    pop_freqs = rng.beta(a[:, None], b[:, None], size=(n_snps, n_pops))
+    pop_of = rng.integers(0, n_pops, size=n_samples)
+    # generate per population to bound memory
+    geno = np.empty((n_snps, n_samples), dtype=np.int8)
+    for p in range(n_pops):
+        cols = np.nonzero(pop_of == p)[0]
+        f = pop_freqs[:, p][:, None]
+        u1 = rng.random((n_snps, len(cols)))
+        u2 = rng.random((n_snps, len(cols)))
+        geno[:, cols] = ((u1 < f).astype(np.int8) + (u2 < f)).astype(np.int8)
+    if missing > 0:
+        mask = rng.random((n_snps, n_samples)) < missing
+        geno[mask] = -127
+    return geno
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--snps", type=int, default=100_000)
+    p.add_argument("--samples", type=int, default=2500)
+    p.add_argument("--blocks", type=int, default=50)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--workdir", default=None)
+    args = p.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO, format="[%(asctime)s %(levelname)s] %(message)s"
+    )
+    import jax
+
+    platform = jax.devices()[0].platform
+    log.info("Devices: %s", jax.devices())
+
+    workdir = Path(args.workdir or tempfile.mkdtemp(prefix="gptpu_validate_"))
+    workdir.mkdir(parents=True, exist_ok=True)
+    prefix = str(workdir / "synth")
+
+    t0 = time.time()
+    rng = np.random.default_rng(7)
+    geno = make_structured(rng, args.snps, args.samples)
+    bp = (np.arange(args.snps) + 1) * 37
+    write_plink(prefix, geno, bp=list(bp))
+    edges = np.linspace(0, bp[-1] + 50, args.blocks + 1, dtype=np.int64)
+    with open(workdir / "blocks.tsv", "w") as fh:
+        for i in range(args.blocks):
+            fh.write(f"1 {edges[i] + 1} {edges[i + 1]}\n")
+    gen_time = time.time() - t0
+    log.info("Synthetic data written in %.1fs (%s)", gen_time, workdir)
+
+    cfg = DataPrepConfig(
+        bed_path=prefix, ld_block_path=str(workdir / "blocks.tsv")
+    )
+    algo = EigenSnpConfig(k_global=args.k, min_subset_size=1000, refine_passes=2)
+
+    t0 = time.time()
+    prep = prepare_data(cfg)
+    prep_time = time.time() - t0
+    log.info(
+        "Prepared: %d/%d SNPs passed QC, %d blocks (%.1fs).",
+        prep.n_pca_snps, args.snps, len(prep.blocks), prep_time,
+    )
+
+    t0 = time.time()
+    res = compute_eigensnp_pca(prep, algo)
+    algo_time = time.time() - t0
+    snps_per_sec = prep.n_pca_snps * (2 + algo.refine_passes) / algo_time
+    log.info("EigenSNP done in %.1fs.", algo_time)
+
+    t0 = time.time()
+    raw_iter = (
+        prep.bed.read(prep.pca_snp_orig_indices[s : s + 4096], prep.qc_sample_indices)
+        for s in range(0, prep.n_pca_snps, 4096)
+    )
+    exact = exact_pca_from_strips(
+        raw_iter, prep.n_samples, k=args.k, config=cfg, scale=True, apply_qc=False
+    )
+    oracle_time = time.time() - t0
+
+    k_eff = min(args.k, res.scores.shape[1], exact.scores.shape[1])
+    rs = []
+    for j in range(k_eff):
+        r = np.corrcoef(res.scores[:, j], exact.scores[:, j])[0, 1]
+        rs.append(abs(float(r)))
+    log.info("Per-PC |r| vs exact oracle: %s", [f"{r:.6f}" for r in rs])
+
+    # |r| is only meaningful for PCs separated by a real eigengap; inside
+    # a (near-)degenerate noise bulk, exact eigenvectors rotate freely and
+    # any solver's vectors decorrelate.  Gate the pass on separated PCs
+    # and check eigenvalues (rotation-invariant) for all of them.
+    ev = exact.eigenvalues
+    separated = []
+    for j in range(k_eff):
+        gap_below = (ev[j] - ev[j + 1]) / ev[0] if j + 1 < len(ev) else 1.0
+        gap_above = (ev[j - 1] - ev[j]) / ev[0] if j > 0 else 1.0
+        if min(gap_below, gap_above) > 0.01:
+            separated.append(j)
+    min_r = min((rs[j] for j in separated), default=1.0)
+
+    # Eigenvalue agreement is rotation-invariant but randomized truncation
+    # biases the degenerate noise bulk downward; compare separated PCs.
+    ours_ev = res.eigenvalues * (prep.n_samples - 1) / prep.n_pca_snps
+    sep = np.asarray(separated, dtype=int)
+    ev_rel_err = float(
+        np.max(np.abs(ours_ev[sep] - ev[sep]) / ev[sep])
+    ) if len(sep) else 0.0
+    log.info(
+        "Separated PCs %s; min |r| there = %.6f; eigenvalue max rel err %.2e",
+        [j + 1 for j in separated], min_r, ev_rel_err,
+    )
+
+    summary = {
+        "platform": platform,
+        "n_snps": args.snps,
+        "n_pca_snps": prep.n_pca_snps,
+        "n_samples": args.samples,
+        "k": args.k,
+        "prep_seconds": round(prep_time, 2),
+        "eigensnp_seconds": round(algo_time, 2),
+        "oracle_seconds": round(oracle_time, 2),
+        "effective_snps_per_sec": round(snps_per_sec, 1),
+        "min_abs_r_separated": round(min_r, 6),
+        "separated_pcs": [j + 1 for j in separated],
+        "per_pc_abs_r": [round(r, 6) for r in rs],
+        "eigenvalue_max_rel_err": round(ev_rel_err, 6),
+        "pass": bool(min_r > 0.999 and ev_rel_err < 0.02),
+    }
+    print(json.dumps(summary))
+    return 0 if summary["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
