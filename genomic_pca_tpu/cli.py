@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="genomic-pca-tpu",
         description="Genomic PCA Tool from VCF or BED/LD-block files (TPU-native).",
     )
+    from genomic_pca_tpu import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     # --- Common arguments ---
     p.add_argument("-o", "--out", dest="output_prefix", required=True,
                    help="Output file prefix.")

@@ -59,12 +59,16 @@ class StripPrefetcher:
         depth: int = 3,
         max_workers: int = 4,
         autoscale: bool = True,
+        timeout_s: float = 60.0,
     ):
+        # timeout_s mirrors the reference's DEFAULT_IO_OPERATION_TIMEOUT
+        # of 60 s on every request/response (prepare.rs:180, 1161).
         self._fetch = fetch
         self.n_strips = n_strips
         self.depth = max(1, depth)
         self.max_workers = max(1, max_workers)
         self.autoscale = autoscale
+        self.timeout_s = timeout_s
         self.telemetry = PrefetchTelemetry()
         self._results: dict = {}
         self._results_lock = threading.Condition()
@@ -148,11 +152,17 @@ class StripPrefetcher:
         self._ensure_workers()
         try:
             for i in range(self.n_strips):
+                deadline = time.monotonic() + self.timeout_s
                 with self._results_lock:
                     starved = i not in self._results
                     if starved:
                         self.telemetry.consumer_waits += 1
                     while i not in self._results:
+                        if time.monotonic() > deadline:
+                            raise TimeoutError(
+                                f"Strip {i} not produced within "
+                                f"{self.timeout_s:.0f}s."
+                            )
                         self._ensure_workers()
                         self._results_lock.wait(timeout=0.1)
                     payload, err = self._results.pop(i)

@@ -110,3 +110,19 @@ def test_streamed_pca_on_streaming_matrix(tmp_path, rng):
     for j in range(3):
         r = np.corrcoef(r_stream.scores[:, j], r_resident.scores[:, j])[0, 1]
         assert abs(r) > 0.9999
+
+
+def test_prefetcher_timeout():
+    import threading
+
+    block = threading.Event()
+
+    def fetch(i):
+        if i == 3:
+            block.wait(timeout=5)  # stalls past the prefetch timeout
+        return i, 1
+
+    p = StripPrefetcher(fetch, 6, depth=2, timeout_s=0.5)
+    with pytest.raises(TimeoutError, match="Strip 3"):
+        list(p)
+    block.set()
