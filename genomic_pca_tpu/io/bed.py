@@ -27,6 +27,8 @@ from typing import Optional, Sequence, Union
 
 import numpy as np
 
+from genomic_pca_tpu.errors import BedFormatError
+
 log = logging.getLogger(__name__)
 
 MISSING = np.int8(-127)
@@ -83,7 +85,7 @@ def read_bim(path: Union[str, Path]) -> BimTable:
             if not parts:
                 continue
             if len(parts) < 6:
-                raise ValueError(f"Malformed .bim line in {path}: {line!r}")
+                raise BedFormatError(f"Malformed .bim line in {path}: {line!r}")
             chroms.append(parts[0])
             sids.append(parts[1])
             bps.append(int(parts[3]))
@@ -106,7 +108,7 @@ def read_fam(path: Union[str, Path]) -> FamTable:
             if not parts:
                 continue
             if len(parts) < 2:
-                raise ValueError(f"Malformed .fam line in {path}: {line!r}")
+                raise BedFormatError(f"Malformed .fam line in {path}: {line!r}")
             fids.append(parts[0])
             iids.append(parts[1])
     return FamTable(fid=np.array(fids, dtype=object), iid=np.array(iids, dtype=object))
@@ -133,10 +135,10 @@ class BedReader:
         self._bytes_per_snp = (self.n_samples + 3) // 4
         self._mmap = np.memmap(prefix + ".bed", dtype=np.uint8, mode="r")
         if bytes(self._mmap[:3].tobytes()) != _MAGIC:
-            raise ValueError(f"{prefix}.bed is not a PLINK1 SNP-major .bed file")
+            raise BedFormatError(f"{prefix}.bed is not a PLINK1 SNP-major .bed file")
         expected = 3 + self._bytes_per_snp * self.n_snps
         if self._mmap.size < expected:
-            raise ValueError(
+            raise BedFormatError(
                 f"{prefix}.bed truncated: {self._mmap.size} bytes, expected {expected}"
             )
 

@@ -40,6 +40,8 @@ from typing import IO, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from genomic_pca_tpu.errors import VcfParseError
+
 log = logging.getLogger(__name__)
 
 
@@ -81,14 +83,14 @@ def read_vcf_sample_names(path: Path) -> List[str]:
             if raw.startswith(b"#CHROM"):
                 fields = raw.rstrip(b"\r\n").split(b"\t")
                 if len(fields) < 10:
-                    raise ValueError(f"VCF header from {path} contains no samples.")
+                    raise VcfParseError(f"VCF header from {path} contains no samples.")
                 if not has_gt_format:
-                    raise ValueError(
+                    raise VcfParseError(
                         f"GT key (FORMAT=GT) not found in FORMAT header for VCF {path}"
                     )
                 return [f.decode() for f in fields[9:]]
-            raise ValueError(f"Malformed VCF {path}: data before #CHROM header")
-    raise ValueError(f"Malformed VCF {path}: missing #CHROM header line")
+            raise VcfParseError(f"Malformed VCF {path}: data before #CHROM header")
+    raise VcfParseError(f"Malformed VCF {path}: missing #CHROM header line")
 
 
 _ALLELE_CODE = np.full(256, -1, dtype=np.int8)
@@ -145,7 +147,7 @@ def process_single_vcf(
     """Parse one VCF into MAF-filtered dosage rows (None if no survivors)."""
     samples = read_vcf_sample_names(path)
     if list(samples) != list(canonical_samples):
-        raise ValueError(
+        raise VcfParseError(
             f"Sample mismatch in VCF {path}: expected {len(canonical_samples)} "
             f"samples matching the first VCF, found {len(samples)}."
         )
@@ -308,5 +310,5 @@ def load_vcf_directory(
         variant_ids.extend(blk.ids)
         strips.append(blk.dosages)
     if not variant_ids:
-        raise ValueError("No variants passed filters across all VCF files.")
+        raise VcfParseError("No variants passed filters across all VCF files.")
     return canonical, variant_ids, iter(strips)

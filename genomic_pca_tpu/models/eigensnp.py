@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genomic_pca_tpu.config import EigenSnpConfig
+from genomic_pca_tpu.errors import ComputeError
 from genomic_pca_tpu.models.prepare import PreparedData
 from genomic_pca_tpu.ops.rsvd import rsvd
 from genomic_pca_tpu.utils.rng import key_for_stage
@@ -95,7 +96,7 @@ def compute_eigensnp_pca(
     n = prep.n_samples
     d = prep.n_pca_snps
     if d == 0 or not prep.blocks:
-        raise ValueError("No PCA SNPs / LD blocks available for EigenSNP.")
+        raise ComputeError("No PCA SNPs / LD blocks available for EigenSNP.")
     k = min(cfg.k_global, max(n - 1, 1), d)
     strip_size = strip_size or cfg.snp_strip_size
 

@@ -20,6 +20,7 @@ from typing import Iterable, Optional
 import numpy as np
 
 from genomic_pca_tpu.config import DataPrepConfig
+from genomic_pca_tpu.errors import ComputeError
 from genomic_pca_tpu.ops.qc import snp_qc_from_counts
 
 log = logging.getLogger(__name__)
@@ -87,7 +88,7 @@ def exact_pca_from_strips(
         kept += x.shape[0]
 
     if kept == 0:
-        raise ValueError("No variants passed QC; cannot compute PCA.")
+        raise ComputeError("No variants passed QC; cannot compute PCA.")
 
     gram /= kept
     evals_all, evecs_all = np.linalg.eigh(gram)  # ascending

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from genomic_pca_tpu.errors import ComputeError
 from genomic_pca_tpu.ops.stream import StripedMatrix
 from genomic_pca_tpu.utils.rng import key_for_stage
 
@@ -49,11 +50,11 @@ class PcaResult:
 def validate_k(k: int, n_samples: int, n_features: int) -> int:
     """k validation with the reference's clamp/warn semantics."""
     if n_samples < 2:
-        raise ValueError(f"PCA requires at least 2 samples, got {n_samples}.")
+        raise ComputeError(f"PCA requires at least 2 samples, got {n_samples}.")
     if n_features < 1:
-        raise ValueError("PCA requires at least 1 feature.")
+        raise ComputeError("PCA requires at least 1 feature.")
     if k < 1:
-        raise ValueError(f"Number of components k must be >= 1, got {k}.")
+        raise ComputeError(f"Number of components k must be >= 1, got {k}.")
     upper = min(n_samples, n_features)
     if k > upper:
         log.warning(

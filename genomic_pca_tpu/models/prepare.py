@@ -29,6 +29,7 @@ import jax
 import numpy as np
 
 from genomic_pca_tpu.config import DataPrepConfig
+from genomic_pca_tpu.errors import DataPrepError
 from genomic_pca_tpu.io.bed import BedReader
 from genomic_pca_tpu.io.ldblocks import LdBlockSpec, map_snps_to_blocks, parse_ld_block_file
 from genomic_pca_tpu.ops.qc import qc_strip
@@ -78,7 +79,7 @@ class PreparedData:
 
     def _check_missing_policy(self, raw: np.ndarray) -> None:
         if self.config.missing_policy == "error" and (raw == MISSING).any():
-            raise ValueError(
+            raise DataPrepError(
                 "Missing genotype encountered post-QC with "
                 "missing_policy='error' (reference accessor semantics, "
                 "prepare.rs:1906-1911)."
@@ -239,7 +240,7 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
     qc_samples = perform_sample_qc(bed, config.sample_keep_path)
     n_qc = len(qc_samples)
     if n_qc == 0:
-        raise ValueError("Sample QC left 0 samples.")
+        raise DataPrepError("Sample QC left 0 samples.")
 
     chunk = config.snp_chunk_size
     keep_chunks: List[np.ndarray] = []
