@@ -30,6 +30,7 @@ engine, so it shards over the variant axis unchanged (parallel/).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Dict, List, Optional
 
@@ -62,12 +63,33 @@ def _bucket_rows(d: int, bucket: int = 512) -> int:
 
 
 @jax.jit
-def _project_block(u_b: jax.Array, x_all: jax.Array) -> jax.Array:
-    """U_b^T X_b on the MXU with pinned f32 precision: (c_b, N)."""
-    return jnp.dot(
-        u_b.T, x_all, preferred_element_type=jnp.float32,
+def _project_blocks_batched(u: jax.Array, x: jax.Array) -> jax.Array:
+    """Batched U_b^T X_b: (B, bucket, c) x (B, bucket, N) -> (B, c, N)."""
+    return jax.lax.dot_general(
+        u, x,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_rsvd(k: int, n_oversamples: int, n_power_iter: int):
+    """jitted vmap of rsvd over a stacked batch of same-shape blocks."""
+
+    def one(x, key):
+        return rsvd(
+            x, key, k=k, n_oversamples=n_oversamples, n_power_iter=n_power_iter
+        )
+
+    return jax.jit(jax.vmap(one))
+
+
+def _pow2_at_most(x: int) -> int:
+    p = 1
+    while p * 2 <= x:
+        p *= 2
+    return p
 
 
 def _choose_sample_subset(cfg: EigenSnpConfig, n_samples: int) -> np.ndarray:
@@ -120,31 +142,73 @@ def compute_eigensnp_pca(
             len(subset),
             n,
         )
+        # Group blocks by (padded-bucket, c_b) and run each group through a
+        # vmapped randomized SVD — one device dispatch per batch instead of
+        # one per block (genome-wide runs have ~1,400 blocks; per-block
+        # dispatch latency would dominate).  Padded rows are exactly zero,
+        # so U keeps exact zero rows there and the padded bases flow
+        # through stage 2 unchanged; batch-padding slots use zero blocks
+        # whose outputs are discarded.
+        groups: Dict[tuple, List[int]] = {}
         for b_idx, block in enumerate(prep.blocks):
             d_b = len(block.pca_snp_ids)
             c_b = min(cfg.components_per_block, d_b, len(subset))
-            # Pad ragged blocks to bucketed shapes: the padded rows are
-            # exactly zero, so U keeps exact zero rows there and the
-            # padded basis can flow through stage 2 unchanged.
-            x_sub = prep.fetch_block_standardized(
-                block.pca_snp_ids, subset, pad_rows_to=_bucket_rows(d_b)
+            groups.setdefault((_bucket_rows(d_b), c_b), []).append(b_idx)
+
+        # ~1 GB of f32 per staged batch
+        budget_elems = 256 * 1024 * 1024
+        results: Dict[int, np.ndarray] = {}
+        svals: Dict[int, np.ndarray] = {}
+        for (bucket, c_b), idxs in sorted(groups.items()):
+            b_cap = max(1, budget_elems // (bucket * max(len(subset), 1)))
+            chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
+            fn = _batched_rsvd(
+                c_b, cfg.local_oversampling, cfg.local_power_iter
             )
-            key = key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=b_idx + 1)
-            u_b, s_b, _ = rsvd(
-                x_sub,
-                key,
-                k=c_b,
-                n_oversamples=cfg.local_oversampling,
-                n_power_iter=cfg.local_power_iter,
-            )
-            local_bases.append(np.asarray(u_b))  # (bucket(d_b), c_b)
-            if diag is not None:
+            for pos in range(0, len(idxs), chunk_b):
+                chunk = idxs[pos : pos + chunk_b]
+                xs = [
+                    np.asarray(
+                        prep.fetch_block_standardized(
+                            prep.blocks[i].pca_snp_ids, subset,
+                            pad_rows_to=bucket,
+                        )
+                    )
+                    for i in chunk
+                ]
+                while len(xs) < chunk_b:  # batch padding: inert zero blocks
+                    xs.append(np.zeros_like(xs[0]))
+                keys = jnp.stack(
+                    [
+                        key_for_stage(
+                            cfg.seed, "eigensnp_local_sketch", unit=i + 1
+                        )
+                        for i in chunk
+                    ]
+                    + [
+                        key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=0)
+                    ]
+                    * (chunk_b - len(chunk))
+                )
+                u_batch, s_batch, _ = fn(jnp.asarray(np.stack(xs)), keys)
+                u_batch = np.asarray(u_batch)
+                s_batch = np.asarray(s_batch)
+                for j, i in enumerate(chunk):
+                    results[i] = u_batch[j]
+                    svals[i] = s_batch[j]
+
+        local_bases = [results[i] for i in range(len(prep.blocks))]
+        if diag is not None:
+            for b_idx, block in enumerate(prep.blocks):
+                d_b = len(block.pca_snp_ids)
                 diag["blocks"].append(
                     {
                         "tag": block.tag,
                         "num_snps": int(d_b),
-                        "num_local_components": int(c_b),
-                        "local_singular_values": np.asarray(s_b).tolist(),
+                        "num_local_components": int(
+                            min(cfg.components_per_block, d_b, len(subset))
+                        ),
+                        "local_singular_values": svals[b_idx].tolist(),
                     }
                 )
         ckpt.save(
@@ -153,13 +217,39 @@ def compute_eigensnp_pca(
         )
 
     # ---- Stage 2: condensed projection + global PCA ------------------
-    condensed: List[jax.Array] = []
-    for block, u_b in zip(prep.blocks, local_bases):
-        x_all = prep.fetch_block_standardized(
-            block.pca_snp_ids, pad_rows_to=u_b.shape[0]
-        )  # (bucket(d_b), N); padded rows are zero on both sides
-        condensed.append(_project_block(jnp.asarray(u_b), x_all))  # (c_b, N)
-    y = jnp.concatenate(condensed, axis=0)  # (C_total, N)
+    # Batched like stage 1: group blocks by (bucket, c_b) and project all
+    # samples through the local bases with one batched dot per chunk.
+    proj_groups: Dict[tuple, List[int]] = {}
+    for b_idx, u_b in enumerate(local_bases):
+        proj_groups.setdefault((u_b.shape[0], u_b.shape[1]), []).append(b_idx)
+
+    budget_elems = 256 * 1024 * 1024
+    condensed_by_block: Dict[int, jax.Array] = {}
+    for (bucket, c_b), idxs in sorted(proj_groups.items()):
+        b_cap = max(1, budget_elems // (bucket * max(n, 1)))
+        chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
+        for pos in range(0, len(idxs), chunk_b):
+            chunk = idxs[pos : pos + chunk_b]
+            xs = [
+                np.asarray(
+                    prep.fetch_block_standardized(
+                        prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
+                    )
+                )
+                for i in chunk
+            ]
+            us = [local_bases[i] for i in chunk]
+            while len(xs) < chunk_b:
+                xs.append(np.zeros_like(xs[0]))
+                us.append(np.zeros_like(us[0]))
+            out = _project_blocks_batched(
+                jnp.asarray(np.stack(us)), jnp.asarray(np.stack(xs))
+            )  # (B, c_b, N)
+            for j, i in enumerate(chunk):
+                condensed_by_block[i] = out[j]
+    y = jnp.concatenate(
+        [condensed_by_block[i] for i in range(len(prep.blocks))], axis=0
+    )  # (C_total, N)
     log.info("EigenSNP stage 2: condensed matrix %s.", tuple(y.shape))
 
     c_total = int(y.shape[0])
