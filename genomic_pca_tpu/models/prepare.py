@@ -252,7 +252,19 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         end = min(start + chunk, bed.n_snps)
         try:
             raw = bed.read(slice(start, end), sample_sel)
+            if raw.shape[0] < chunk:
+                # Pad the tail chunk with all-missing rows (dropped by QC)
+                # so the whole pass reuses ONE compiled program shape.
+                raw = np.pad(
+                    raw, ((0, chunk - raw.shape[0]), (0, 0)),
+                    constant_values=MISSING,
+                )
             qc = qc_strip(raw, n_qc, config)
+            qc = type(qc)(
+                keep=qc.keep[: end - start],
+                mean=qc.mean[: end - start],
+                std=qc.std[: end - start],
+            )
         except (OSError, ValueError) as e:
             # QC-path chunk failures are logged and skipped — the chunk's
             # SNPs are excluded, mirroring prepare.rs:1380-1398 (accessor

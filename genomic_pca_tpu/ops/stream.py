@@ -22,7 +22,7 @@ fixed size so one compiled program serves every strip):
 
   gram_apply(strips, B)  ->  A^T (A B)   (N x l) — one power-iteration pass
   right_apply(strips, B) ->  per-strip A_s B  (for loadings / projections)
-  left_apply_accum(strips, C_s list) -> A^T-weighted accumulations
+  tsq_accumulate(strips, B) -> (A B)^T (A B)  (l x l) condensed Gram
 """
 
 from __future__ import annotations
@@ -75,15 +75,6 @@ def _strip_right_apply(
     """A_s B for one strip: (d_s, l)."""
     a = _standardize(g_i8, mean, inv_std)
     return _dot(a, b)
-
-
-@jax.jit
-def _strip_left_apply(
-    g_i8: jax.Array, mean: jax.Array, inv_std: jax.Array, c: jax.Array
-) -> jax.Array:
-    """A_s^T C_s for one strip: (N, l)."""
-    a = _standardize(g_i8, mean, inv_std)
-    return _dot(a.T, c)
 
 
 @dataclasses.dataclass
