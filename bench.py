@@ -62,6 +62,44 @@ def main() -> None:
     flops = 4.0 * n_snps * n_samples * ell * n_iter  # 2 matmuls x 2 flop/MAC
     tflops = flops / dt / 1e12
 
+    # Compact EigenSNP end-to-end measurement (QC -> two-stage PCA) on a
+    # small synthetic PLINK fileset, for the e2e SNPs/sec view.
+    e2e = {}
+    try:
+        import tempfile
+
+        from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+        from genomic_pca_tpu.io.bed import write_plink
+        from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
+        from genomic_pca_tpu.models.prepare import prepare_data
+
+        with tempfile.TemporaryDirectory(prefix="gptpu_bench_") as td:
+            d_e2e, n_e2e = (32_768, 1024) if on_tpu else (4096, 256)
+            g2 = geno[:d_e2e, :n_e2e]
+            write_plink(f"{td}/b", g2, bp=list(range(10, d_e2e * 10 + 10, 10)))
+            with open(f"{td}/blocks.tsv", "w") as fh:
+                edges = np.linspace(0, d_e2e * 10 + 20, 17, dtype=np.int64)
+                for i in range(16):
+                    fh.write(f"1 {edges[i]+1} {edges[i+1]}\n")
+            cfg = DataPrepConfig(
+                bed_path=f"{td}/b", ld_block_path=f"{td}/blocks.tsv",
+                min_maf=0.0, max_hwe_p=1.0,
+            )
+            t0 = time.perf_counter()
+            prep = prepare_data(cfg)
+            res = compute_eigensnp_pca(
+                prep, EigenSnpConfig(k_global=10, min_subset_size=256)
+            )
+            e2e_dt = time.perf_counter() - t0
+            e2e = {
+                "eigensnp_e2e_snps": prep.n_pca_snps,
+                "eigensnp_e2e_samples": n_e2e,
+                "eigensnp_e2e_seconds": round(e2e_dt, 2),
+                "eigensnp_e2e_snps_per_sec": round(prep.n_pca_snps / e2e_dt, 1),
+            }
+    except Exception as e:  # bench must still print its one line
+        e2e = {"eigensnp_e2e_error": str(e)}
+
     # Reference-strategy baseline: numpy f64 centered Gram accumulation
     # (X^T X over a sample of strips), the oracle's inner loop.
     sample_snps = min(4096, n_snps)
@@ -88,6 +126,7 @@ def main() -> None:
                     "baseline": "numpy f64 Gram accumulation "
                     "(reference oracle inner loop) on this host",
                     "baseline_snps_per_sec": round(base_snps_per_sec, 1),
+                    **e2e,
                 },
             }
         )
