@@ -31,6 +31,10 @@ class DataPrepConfig:
     max_hwe_p: float = 1e-6  # 1.0 disables the HWE filter
     min_variance: float = 1e-9
     snp_chunk_size: int = 2000  # SNP_IO_CHUNK_SIZE, prepare.rs:1115
+    # Rows per QC device dispatch (chunks are gathered into batches of
+    # this many rows before the jitted histogram reduction; results are
+    # exact integer counts, so batching never changes QC decisions).
+    qc_device_batch: int = 16384
     # Deviation from the reference: the reference accessor hard-errors on a
     # missing genotype surviving QC (prepare.rs:1906-1911); with call-rate
     # thresholds < 1.0 missing values legitimately survive, so the default

@@ -242,50 +242,53 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
     if n_qc == 0:
         raise DataPrepError("Sample QC left 0 samples.")
 
+    # IO granularity follows the reference's SNP_IO_CHUNK_SIZE; device
+    # dispatches gather multiple IO chunks into `qc_device_batch`-row
+    # batches (the integer-histogram QC is exact, so batching cannot
+    # change decisions — it only amortizes per-dispatch latency).
     chunk = config.snp_chunk_size
+    batch_rows = max(chunk, config.qc_device_batch)
+    batch_rows = -(-batch_rows // chunk) * chunk
     keep_chunks: List[np.ndarray] = []
     mean_chunks: List[np.ndarray] = []
     std_chunks: List[np.ndarray] = []
     sample_sel = None if n_qc == bed.n_samples else qc_samples
-    n_chunks = -(-bed.n_snps // chunk)
-    for ci, start in enumerate(range(0, bed.n_snps, chunk)):
-        end = min(start + chunk, bed.n_snps)
-        try:
-            raw = bed.read(slice(start, end), sample_sel)
-            if raw.shape[0] < chunk:
-                # Pad the tail chunk with all-missing rows (dropped by QC)
-                # so the whole pass reuses ONE compiled program shape.
-                raw = np.pad(
-                    raw, ((0, chunk - raw.shape[0]), (0, 0)),
-                    constant_values=MISSING,
+    n_batches = -(-bed.n_snps // batch_rows)
+    for bi, bstart in enumerate(range(0, bed.n_snps, batch_rows)):
+        bend = min(bstart + batch_rows, bed.n_snps)
+        rows: List[np.ndarray] = []
+        for start in range(bstart, bend, chunk):
+            end = min(start + chunk, bend)
+            try:
+                rows.append(bed.read(slice(start, end), sample_sel))
+            except (OSError, ValueError) as e:
+                # QC-path chunk failures are logged and skipped — the
+                # chunk's SNPs are excluded, mirroring prepare.rs:1380-1398
+                # (accessor-path read failures later remain fatal).
+                log.warning(
+                    "SNP QC chunk %d-%d failed (%s); excluding its SNPs.",
+                    start, end, e,
                 )
-            qc = qc_strip(raw, n_qc, config)
-            qc = type(qc)(
-                keep=qc.keep[: end - start],
-                mean=qc.mean[: end - start],
-                std=qc.std[: end - start],
+                rows.append(
+                    np.full((end - start, n_qc), MISSING, dtype=np.int8)
+                )
+        raw = np.concatenate(rows, axis=0)
+        if raw.shape[0] < batch_rows:
+            # Pad the tail batch with all-missing rows (dropped by QC) so
+            # the whole pass reuses ONE compiled program shape.
+            raw = np.pad(
+                raw, ((0, batch_rows - raw.shape[0]), (0, 0)),
+                constant_values=MISSING,
             )
-        except (OSError, ValueError) as e:
-            # QC-path chunk failures are logged and skipped — the chunk's
-            # SNPs are excluded, mirroring prepare.rs:1380-1398 (accessor
-            # -path read failures later remain fatal).
-            log.warning(
-                "SNP QC chunk %d-%d failed (%s); excluding its SNPs.",
-                start, end, e,
-            )
-            keep_chunks.append(np.zeros(end - start, dtype=bool))
-            mean_chunks.append(np.zeros(end - start, dtype=np.float32))
-            std_chunks.append(np.zeros(end - start, dtype=np.float32))
-            continue
-        keep_chunks.append(qc.keep)
-        mean_chunks.append(qc.mean)
-        std_chunks.append(qc.std)
-        if ci % 50 == 0 or ci == n_chunks - 1:
-            log.info(
-                "SNP QC progress: chunk %d/%d (%.1f%%)",
-                ci + 1, n_chunks, 100.0 * (ci + 1) / n_chunks,
-            )
-        log.debug("SNP QC chunk %d-%d: kept %d", start, end, qc.n_kept)
+        qc = qc_strip(raw, n_qc, config)
+        keep_chunks.append(qc.keep[: bend - bstart])
+        mean_chunks.append(qc.mean[: bend - bstart])
+        std_chunks.append(qc.std[: bend - bstart])
+        log.info(
+            "SNP QC progress: batch %d/%d (%.1f%%), kept %d",
+            bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
+            int(qc.keep[: bend - bstart].sum()),
+        )
 
     keep = np.concatenate(keep_chunks)
     mean_all = np.concatenate(mean_chunks)
