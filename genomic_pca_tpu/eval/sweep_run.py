@@ -183,7 +183,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "run_id\tswept_param_name\tswept_param_value\t"
                 "duration_seconds\tsuccess\tcommand\n"
             )
-        with ProcessPoolExecutor(args.jobs) as pool:
+        import contextlib
+
+        from genomic_pca_tpu.utils.subproc import host_only_children
+
+        # In --cpu mode strip the device-grant trigger so pool workers and
+        # their CLI children start host-only; in TPU mode (serial jobs)
+        # children must keep the grant env to reach the accelerator.
+        guard = host_only_children() if args.cpu else contextlib.nullcontext()
+        with guard, ProcessPoolExecutor(args.jobs) as pool:
             for res in pool.map(execute_single_run, work):
                 fh.write(
                     f"{res['run_id']}\t{res['swept_param_name']}\t"

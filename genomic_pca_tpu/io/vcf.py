@@ -288,11 +288,14 @@ def load_vcf_directory(
     if n_workers > 1 and len(paths) > 1:
         import multiprocessing as mp
 
-        with mp.get_context("spawn").Pool(min(n_workers, len(paths))) as pool:
-            blocks = pool.starmap(
-                process_single_vcf,
-                [(p, canonical, maf_threshold) for p in paths],
-            )
+        from genomic_pca_tpu.utils.subproc import host_only_children
+
+        with host_only_children():
+            with mp.get_context("spawn").Pool(min(n_workers, len(paths))) as pool:
+                blocks = pool.starmap(
+                    process_single_vcf,
+                    [(p, canonical, maf_threshold) for p in paths],
+                )
     else:
         try:
             from tqdm import tqdm
