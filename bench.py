@@ -23,6 +23,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from genomic_pca_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from genomic_pca_tpu.parallel.mesh import make_mesh
     from genomic_pca_tpu.parallel.sharded import ShardedMatrix
 

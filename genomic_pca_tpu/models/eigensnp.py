@@ -279,36 +279,51 @@ def compute_eigensnp_pca(
         s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) orthonormal score basis
         ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
 
-    # ---- Refinement over the full standardized matrix ----------------
+    # ---- Refinement + final eigensolve + loadings --------------------
+    # The refinement is subspace iteration seeded with the stage-2 basis —
+    # exactly the fused single-program PCA core (power loop -> condensed
+    # eigensolve -> loadings in ONE compile/dispatch).  Streamed/striped
+    # containers without pca_core fall back to per-pass dispatches with
+    # per-pass checkpointing.
     a = prep.load_matrix(strip_size=strip_size)
-    start_pass = 0
-    for p in reversed(range(cfg.refine_passes)):
-        saved = ckpt.load(f"refine_pass_{p}")
-        if saved is not None:
-            s_basis = jnp.asarray(saved["s_basis"])
-            start_pass = p + 1
-            break
-    for p in range(start_pass, cfg.refine_passes):
-        t = a.gram_apply(s_basis)  # A^T A S, one streamed pass
-        s_basis, _ = jnp.linalg.qr(t)
-        ckpt.save(f"refine_pass_{p}", {"s_basis": np.asarray(s_basis)})
-        log.info("EigenSNP refinement pass %d/%d done.", p + 1, cfg.refine_passes)
+    if hasattr(a, "pca_core") and not ckpt.enabled and cfg.refine_passes >= 1:
+        v_k, sigma_k, evals_k, loadings = a.pca_core(
+            s_basis, cfg.refine_passes, k
+        )
+        scores = np.asarray(v_k * sigma_k[None, :], dtype=np.float32)
+        loadings = loadings.astype(np.float32)
+        eigenvalues = np.asarray(evals_k, dtype=np.float64) / max(n - 1, 1)
+        sigma = sigma_k
+    else:
+        start_pass = 0
+        for p in reversed(range(cfg.refine_passes)):
+            saved = ckpt.load(f"refine_pass_{p}")
+            if saved is not None:
+                s_basis = jnp.asarray(saved["s_basis"])
+                start_pass = p + 1
+                break
+        for p in range(start_pass, cfg.refine_passes):
+            t = a.gram_apply(s_basis)  # A^T A S, one streamed pass
+            s_basis, _ = jnp.linalg.qr(t)
+            ckpt.save(f"refine_pass_{p}", {"s_basis": np.asarray(s_basis)})
+            log.info(
+                "EigenSNP refinement pass %d/%d done.", p + 1, cfg.refine_passes
+            )
 
-    # ---- Final small eigensolve + loadings ---------------------------
-    g = a.tsq_accumulate(s_basis)  # (k, k)
-    evals, w = jnp.linalg.eigh(g)
-    order = jnp.argsort(-evals)
-    evals = jnp.maximum(evals[order], 0.0)
-    w = w[:, order]
-    sigma = jnp.sqrt(evals)
-    v = s_basis @ w  # (N, k) right singular vectors of A
+        g = a.tsq_accumulate(s_basis)  # (k, k)
+        evals, w = jnp.linalg.eigh(g)
+        order = jnp.argsort(-evals)
+        evals = jnp.maximum(evals[order], 0.0)
+        w = w[:, order]
+        sigma = jnp.sqrt(evals)
+        v = s_basis @ w  # (N, k) right singular vectors of A
 
-    scores = np.asarray(v * sigma[None, :], dtype=np.float32)
-    inv_sigma = np.asarray(
-        jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1.0), 0.0)
-    )
-    loadings = (a.right_apply(v) * inv_sigma[None, :]).astype(np.float32)
-    eigenvalues = np.asarray(evals, dtype=np.float64) / max(n - 1, 1)
+        scores = np.asarray(v * sigma[None, :], dtype=np.float32)
+        inv_sigma = np.asarray(
+            jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1.0), 0.0)
+        )
+        loadings = (a.right_apply(v) * inv_sigma[None, :]).astype(np.float32)
+        eigenvalues = np.asarray(evals, dtype=np.float64) / max(n - 1, 1)
 
     if diag is not None:
         diag["global"] = {

@@ -84,8 +84,19 @@ def streamed_pca(
     b = jax.random.normal(key, (n, ell), dtype=jnp.float32)
 
     n_iter = max(n_power_iter, 1)
+    if hasattr(matrix, "pca_core"):
+        # Entire PCA (power loop + eigensolve + loadings) as ONE compiled
+        # program/dispatch (ShardedMatrix).
+        v_k, sigma_k, evals_k, loadings_full = matrix.pca_core(b, n_iter, k)
+        return PcaResult(
+            scores=np.asarray(v_k * sigma_k[None, :]),
+            eigenvalues=np.asarray(evals_k) / max(n - 1, 1),
+            singular_values=np.asarray(sigma_k),
+            loadings=loadings_full if compute_loadings else None,
+            k=k,
+        )
     if hasattr(matrix, "power_iterate"):
-        # Whole loop on device in one dispatch (ShardedMatrix).
+        # Whole loop on device in one dispatch.
         b = matrix.power_iterate(b, n_iter)
     else:
         for _ in range(n_iter):

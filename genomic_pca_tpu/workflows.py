@@ -24,6 +24,7 @@ from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
 from genomic_pca_tpu.models.pca import streamed_pca
 from genomic_pca_tpu.models.prepare import prepare_data
 from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+from genomic_pca_tpu.utils.jaxcache import enable_persistent_cache
 from genomic_pca_tpu.utils.system import preflight
 from genomic_pca_tpu.utils.timing import StageTimer
 
@@ -49,6 +50,7 @@ def run_vcf_workflow(
     Loadings are intentionally not written in VCF mode (main.rs:233).
     """
     timer = StageTimer()
+    enable_persistent_cache()
 
     with timer.stage("VCF parsing & filtering"):
         sample_names, variant_ids, strips = load_vcf_directory(
@@ -98,6 +100,7 @@ def run_eigensnp_workflow(
     `{prefix}.eigensnp_diagnostics.json` (main.rs:386-432).
     """
     timer = StageTimer()
+    enable_persistent_cache()
     preflight(planned_threads=16)
 
     with timer.stage("Data preparation (QC + LD mapping)"):

@@ -64,6 +64,9 @@ def main() -> int:
     logging.basicConfig(
         level=logging.INFO, format="[%(asctime)s %(levelname)s] %(message)s"
     )
+    from genomic_pca_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     platform = jax.devices()[0].platform
