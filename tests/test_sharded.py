@@ -141,3 +141,35 @@ def test_from_local_rows_matches_from_arrays(rng):
     np.testing.assert_allclose(
         sm_local.right_apply(b), sm_pack.right_apply(b), rtol=1e-4, atol=1e-2
     )
+
+
+def test_pca_core_matches_decomposed(rng):
+    """Fused single-program PCA equals the decomposed pass sequence."""
+    geno = make_genotypes(rng, 300, 40, n_pops=5, fst=0.25)
+    sm = _build(geno, make_mesh())
+    k, n_iter = 4, 5
+    b0 = jnp.asarray(rng.standard_normal((40, k + 10)).astype(np.float32))
+
+    v, sigma, evals, loadings = sm.pca_core(b0, n_iter, k)
+
+    # decomposed: power_iterate -> tsq -> eigh -> right_apply
+    q = sm.power_iterate(b0, n_iter)
+    g = np.asarray(sm.tsq_accumulate(q))
+    w_evals, w = np.linalg.eigh(g)
+    order = np.argsort(-w_evals)
+    sig_ref = np.sqrt(np.maximum(w_evals[order], 0))[:k]
+
+    np.testing.assert_allclose(np.asarray(sigma), sig_ref, rtol=1e-4)
+    assert loadings.shape == (300, k)
+    np.testing.assert_allclose(
+        np.linalg.norm(loadings, axis=0), np.ones(k), atol=1e-3
+    )
+    # scores == A^T @ loadings (definition check against dense math)
+    from tests.test_stream_pca import _dense_standardized
+
+    a = _dense_standardized(geno)
+    scores = np.asarray(v) * np.asarray(sigma)[None, :]
+    ref_scores = a.T @ loadings
+    for j in range(k):
+        r = np.corrcoef(scores[:, j], ref_scores[:, j])[0, 1]
+        assert abs(r) > 0.9999
