@@ -42,6 +42,16 @@ def standardize_strip(
     return jnp.where(valid, x, 0.0)
 
 
+def standardize_rows(
+    g_i8: jax.Array, mean: jax.Array, inv_std: jax.Array
+) -> jax.Array:
+    """Row-vector form used by the streamed engines (not jitted on its
+    own — callers fuse it into their compiled programs)."""
+    g = g_i8.astype(jnp.float32)
+    x = g * inv_std[:, None] + (-mean * inv_std)[:, None]
+    return jnp.where(g_i8 != MISSING, x, 0.0)
+
+
 def inv_std_from_std(std) -> jax.Array:
     std = jnp.asarray(std, dtype=jnp.float32)
     return jnp.where(std > 0, 1.0 / jnp.where(std > 0, std, 1.0), 0.0)

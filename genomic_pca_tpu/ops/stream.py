@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from genomic_pca_tpu.ops.standardize import standardize_rows as _standardize
+
 MISSING = -127
 
 # f32 matmuls on the MXU default to a bf16-pass approximation; PCA
@@ -49,13 +51,6 @@ def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.dot(
         a, b, preferred_element_type=jnp.float32, precision=_PRECISION
     )
-
-
-def _standardize(g_i8: jax.Array, mean: jax.Array, inv_std: jax.Array) -> jax.Array:
-    g = g_i8.astype(jnp.float32)
-    valid = g_i8 != MISSING
-    x = g * inv_std[:, None] + (-mean * inv_std)[:, None]
-    return jnp.where(valid, x, 0.0)
 
 
 @jax.jit

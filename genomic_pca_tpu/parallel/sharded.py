@@ -31,6 +31,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genomic_pca_tpu.ops import pallas_kernels as pk
+from genomic_pca_tpu.ops.standardize import standardize_rows as _standardize
 from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
 
 MISSING = -127
@@ -45,12 +46,6 @@ def _dot(a, b):
         a, b, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-
-
-def _standardize(g_i8, mean, inv_std):
-    g = g_i8.astype(jnp.float32)
-    x = g * inv_std[:, None] + (-mean * inv_std)[:, None]
-    return jnp.where(g_i8 != MISSING, x, 0.0)
 
 
 def _default_mode() -> str:
