@@ -73,12 +73,20 @@ class StreamingMatrix:
         self.strip_size = strip_size
         if mode is None:
             mode = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        self.n_pad = _round_up(n_samples, 128)
+        if mode == "pallas":
+            from genomic_pca_tpu.parallel.sharded import auto_tile_d
+
+            fitted = auto_tile_d(self.n_pad, requested=tile_d)
+            if fitted == 0:
+                mode = "xla"  # sample axis too wide for a VMEM row tile
+            else:
+                tile_d = fitted
         self.mode = mode
         self.tile_d = tile_d
         self.kernel_precision = kernel_precision
         self.prefetch_depth = prefetch_depth
         self.prefetch_workers = prefetch_workers
-        self.n_pad = _round_up(n_samples, 128)
         self.last_telemetry = None
 
     # ------------------------------------------------------------------

@@ -52,6 +52,30 @@ def _default_mode() -> str:
     return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
 
+# VMEM budget for kernel working sets, calibrated against the measured
+# v5e limit: tile_d=1024 at N=2048 overflowed the 16 MiB scoped budget by
+# 0.5 MiB while tile_d=512 fit comfortably.
+_VMEM_BUDGET = int(15.5 * 1024 * 1024)
+
+
+def auto_tile_d(n_pad: int, ell_pad: int = 128, requested: int = 512) -> int:
+    """Largest power-of-two row tile whose working set fits VMEM.
+
+    Per grid step the gram kernel holds: int8 tile (x2 buffers), the f32
+    standardize intermediate, its bf16 copy, B and the (n_pad, ell) f32
+    accumulator.  At biobank sample counts (n_pad ~ 500k) no row tile
+    fits — callers must fall back to the XLA path (return 0).
+    """
+    fixed = n_pad * ell_pad * (4 + 2) + n_pad * ell_pad * 4  # B, B.bf16, out
+    tile = min(requested, 1024)
+    while tile >= 32:
+        per_row = n_pad * (2 * 1 + 4 + 2)  # g x2, x f32, x bf16
+        if fixed + tile * per_row <= _VMEM_BUDGET:
+            return tile
+        tile //= 2
+    return 0
+
+
 class ShardedMatrix:
     """Standardized genotype operator sharded over the variant axis.
 
@@ -81,9 +105,17 @@ class ShardedMatrix:
         self.n_samples = n_samples
         self.mesh = mesh
         self.mode = mode or _default_mode()
-        self.tile_d = tile_d
         self.kernel_precision = kernel_precision
         self.d_pad, self.n_pad = geno.shape
+        if self.mode == "pallas":
+            fitted = auto_tile_d(self.n_pad, requested=tile_d)
+            if fitted == 0:
+                # Sample axis too wide for a VMEM row tile; XLA tiles both
+                # axes itself.
+                self.mode = "xla"
+            elif fitted != tile_d:
+                tile_d = fitted
+        self.tile_d = tile_d
         self._build_kernels()
 
     # ------------------------------------------------------------------
