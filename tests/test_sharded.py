@@ -181,7 +181,7 @@ def test_auto_tile_d():
     # modest sample counts keep the requested tile
     assert auto_tile_d(2048, 128, 512) == 512
     # growing N shrinks the tile...
-    t = auto_tile_d(131072, 128, 512)
+    t = auto_tile_d(8192, 128, 512)
     assert 0 < t < 512
     # ...until no tile fits (biobank N) -> 0 means fall back to XLA
     assert auto_tile_d(524288, 128, 512) == 0
