@@ -228,3 +228,143 @@ def fused_tsq(
         ),
         interpret=interpret,
     )(geno, mean, inv_std, b)
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled kernels for wide sample axes (biobank N).
+#
+# The 1-D kernels above hold a full (tile_d, N) row block in VMEM; once
+# N exceeds ~4k no row tile fits.  These variants tile BOTH axes.  The
+# power-iteration pass then splits into two fused products with a small
+# (D, L) f32 intermediate in HBM:
+#     W = A B      (fused_right_apply_2d)
+#     T = A^T W    (fused_left_apply_2d)
+# which costs D*L*8 bytes of extra traffic — negligible against reading
+# the D x N int8 block itself when N >> L — while the int8 tile is still
+# read exactly once per product and standardized in VMEM.
+
+
+def _right2d_kernel(g_ref, m_ref, iv_ref, b_ref, out_ref, *, compute_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = _standardize_tile(g_ref[:], m_ref[:], iv_ref[:], compute_dtype)
+    b = b_ref[:].astype(compute_dtype)
+    out_ref[:] += jnp.dot(
+        x, b, preferred_element_type=jnp.float32,
+        precision=_prec(compute_dtype),
+    )
+
+
+def _left2d_kernel(g_ref, m_ref, iv_ref, w_ref, out_ref, *, compute_dtype):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = _standardize_tile(g_ref[:], m_ref[:], iv_ref[:], compute_dtype)
+    w = w_ref[:].astype(compute_dtype)
+    out_ref[:] += jnp.dot(
+        x.T, w, preferred_element_type=jnp.float32,
+        precision=_prec(compute_dtype),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "tile_n", "precision", "interpret")
+)
+def fused_right_apply_2d(
+    geno: jax.Array,  # (D, N) int8
+    mean: jax.Array,  # (D, 1) f32
+    inv_std: jax.Array,  # (D, 1) f32
+    b: jax.Array,  # (N, L) f32
+    tile_d: int = 512,
+    tile_n: int = 2048,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """A B with both axes tiled: (D, L) f32."""
+    d, n = geno.shape
+    ell = b.shape[1]
+    assert d % tile_d == 0 and n % tile_n == 0, (d, n, tile_d, tile_n)
+    kernel = functools.partial(
+        _right2d_kernel, compute_dtype=_compute_dtype(precision)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tile_d, n // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_d, tile_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, ell), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_d, ell), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, ell), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d * n * ell,
+            bytes_accessed=d * n + d * ell * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(geno, mean, inv_std, b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "tile_n", "precision", "interpret")
+)
+def fused_left_apply_2d(
+    geno: jax.Array,  # (D, N) int8
+    mean: jax.Array,
+    inv_std: jax.Array,
+    w: jax.Array,  # (D, L) f32
+    tile_d: int = 512,
+    tile_n: int = 2048,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """A^T W with both axes tiled: (N, L) f32."""
+    d, n = geno.shape
+    ell = w.shape[1]
+    assert d % tile_d == 0 and n % tile_n == 0, (d, n, tile_d, tile_n)
+    kernel = functools.partial(
+        _left2d_kernel, compute_dtype=_compute_dtype(precision)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n, d // tile_d),
+        in_specs=[
+            pl.BlockSpec((tile_d, tile_n), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, ell), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, ell), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ell), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d * n * ell,
+            bytes_accessed=d * n + n * ell * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(geno, mean, inv_std, w)

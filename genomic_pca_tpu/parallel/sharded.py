@@ -110,13 +110,22 @@ class ShardedMatrix:
         if self.mode == "pallas":
             fitted = auto_tile_d(self.n_pad, requested=tile_d)
             if fitted == 0:
-                # Sample axis too wide for a VMEM row tile; XLA tiles both
-                # axes itself.
-                self.mode = "xla"
+                # Sample axis too wide for a full-row VMEM tile: switch to
+                # the 2-D tiled kernels (both axes blocked, small (D, L)
+                # intermediate in HBM).
+                self.mode = "pallas2d"
             elif fitted != tile_d:
                 tile_d = fitted
         self.tile_d = tile_d
+        self.tile_n = self._pick_tile_n()
         self._build_kernels()
+
+    def _pick_tile_n(self) -> int:
+        """Largest 128-multiple divisor of n_pad that is <= 2048."""
+        for cand in (2048, 1024, 512, 256, 128):
+            if self.n_pad % cand == 0:
+                return cand
+        return 128
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -286,10 +295,33 @@ class ShardedMatrix:
     def _local_ops(self):
         """Local (per-shard) pass implementations for each backend mode."""
         tile_d = self.tile_d
+        tile_n = self.tile_n
         precision = self.kernel_precision
-        interpret = self.mode == "pallas_interpret"
+        interpret = self.mode in ("pallas_interpret", "pallas2d_interpret")
 
-        if self.mode in ("pallas", "pallas_interpret"):
+        if self.mode in ("pallas2d", "pallas2d_interpret"):
+
+            def local_right(g, m, iv, b):
+                return pk.fused_right_apply_2d(
+                    g, m, iv, b, tile_d=tile_d, tile_n=tile_n,
+                    precision=precision, interpret=interpret,
+                )
+
+            def local_gram(g, m, iv, b):
+                w = local_right(g, m, iv, b)
+                return pk.fused_left_apply_2d(
+                    g, m, iv, w, tile_d=tile_d, tile_n=tile_n,
+                    precision=precision, interpret=interpret,
+                )
+
+            def local_tsq(g, m, iv, b):
+                w = local_right(g, m, iv, b)
+                return jnp.dot(
+                    w.T, w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+        elif self.mode in ("pallas", "pallas_interpret"):
 
             def local_gram(g, m, iv, b):
                 return pk.fused_gram_apply(

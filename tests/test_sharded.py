@@ -207,3 +207,26 @@ def test_wide_sample_axis_falls_back_to_xla(rng, monkeypatch):
 
     # decision logic only: auto_tile_d returns 0 => xla
     assert sh.auto_tile_d(sh._round_up(big_n, 128)) == 0
+
+
+def test_pallas2d_interpret_matches_xla(rng):
+    """2-D tiled kernel path (wide-N mode) matches XLA results."""
+    geno = make_genotypes(rng, 300, 40, missing_rate=0.03)
+    mesh = make_mesh()
+    sm_x = _build(geno, mesh, mode="xla")
+    sm_p = _build(
+        geno, mesh, mode="pallas2d_interpret", kernel_precision="f32"
+    )
+    assert sm_p.tile_n == 128
+    b = jnp.asarray(rng.standard_normal((40, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sm_p.gram_apply(b)), np.asarray(sm_x.gram_apply(b)),
+        rtol=1e-4, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm_p.tsq_accumulate(b)), np.asarray(sm_x.tsq_accumulate(b)),
+        rtol=1e-4, atol=1e-1,
+    )
+    np.testing.assert_allclose(
+        sm_p.right_apply(b), sm_x.right_apply(b), rtol=1e-4, atol=1e-2
+    )
