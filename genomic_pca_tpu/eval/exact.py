@@ -15,8 +15,6 @@ import time
 from pathlib import Path
 from typing import List, Optional
 
-import numpy as np
-
 from genomic_pca_tpu.config import DataPrepConfig
 from genomic_pca_tpu.io.bed import BedReader
 from genomic_pca_tpu.models.exact import exact_pca_from_strips

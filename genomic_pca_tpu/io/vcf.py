@@ -34,7 +34,6 @@ from __future__ import annotations
 import dataclasses
 import gzip
 import logging
-import os
 from pathlib import Path
 from typing import IO, Iterator, List, Optional, Sequence, Tuple
 

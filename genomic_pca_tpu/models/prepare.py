@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import numpy as np
@@ -184,17 +184,44 @@ class PreparedData:
             **kw,
         )
 
+    def _device_memory_budget(self) -> int:
+        """Total HBM across local devices (bytes), best effort."""
+        import jax
+
+        total = 0
+        for dev in jax.local_devices():
+            try:
+                stats = dev.memory_stats()
+                total += int(stats.get("bytes_limit", 0))
+            except Exception:
+                pass
+        return total or 16 * (1 << 30) * max(len(jax.local_devices()), 1)
+
     def load_matrix(self, strip_size: int = 2048, mesh=None):
         """Materialize A as the production variant-sharded container
         (Pallas kernels on TPU, shard_map + psum across the mesh).
 
-        Multi-host: each process decodes only the BED rows its devices
-        own (`ShardedMatrix.from_local_rows`); single-host it is a plain
+        Falls back to the host-streamed container automatically when the
+        resident int8 block would not fit in device memory.  Multi-host:
+        each process decodes only the BED rows its devices own
+        (`ShardedMatrix.from_local_rows`); single-host it is a plain
         sharded pack.
         """
         import jax
 
         from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+
+        n_pad = -(-self.n_samples // 128) * 128
+        resident_bytes = self.n_pca_snps * n_pad
+        budget = self._device_memory_budget()
+        if jax.process_count() == 1 and resident_bytes > 0.6 * budget:
+            log.warning(
+                "Genotype block (%.1f GB) exceeds 60%% of device memory "
+                "(%.1f GB); using the host-streamed matrix.",
+                resident_bytes / 1e9,
+                budget / 1e9,
+            )
+            return self.load_streaming_matrix(strip_size=strip_size)
 
         if jax.process_count() > 1:
 

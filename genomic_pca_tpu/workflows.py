@@ -11,7 +11,6 @@ import json
 import logging
 from typing import Optional
 
-import numpy as np
 
 from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
 from genomic_pca_tpu.io.vcf import load_vcf_directory
