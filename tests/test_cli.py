@@ -85,3 +85,24 @@ def test_failure_returns_nonzero(tmp_path):
     rc = main(["-d", str(tmp_path), "-o", str(tmp_path / "o"), "-k", "3",
                "--log-level", "Off"])
     assert rc == 1  # empty vcf dir
+
+
+def test_version_flag(capsys):
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert "genomic-pca-tpu" in capsys.readouterr().out
+
+
+def test_profile_dir_smoke(tmp_path, rng):
+    vcf_dir = tmp_path / "vcfs"
+    vcf_dir.mkdir()
+    geno = make_genotypes(rng, 60, 16)
+    write_vcf(vcf_dir / "a.vcf", geno, [f"s{i}" for i in range(16)])
+    out = tmp_path / "p"
+    rc = main(["-d", str(vcf_dir), "-o", str(out), "-k", "3",
+               "--profile-dir", str(tmp_path / "prof"), "--log-level", "Off"])
+    assert rc == 0
+    assert (tmp_path / "prof").exists()

@@ -148,3 +148,21 @@ def test_discovery_sorted_and_aggregation_order(tmp_path):
 def test_empty_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         discover_vcf_files(str(tmp_path))
+
+
+def test_bgzf_style_multimember_gzip(tmp_path):
+    """BGZF files are concatenated gzip members; parser must read all."""
+    import gzip as gz
+
+    dos = np.array([[0, 1, 2, 1], [1, 1, 0, 2], [2, 0, 1, 1]])
+    plain = tmp_path / "ref.vcf"
+    write_vcf(plain, dos, SAMPLES)
+    raw = plain.read_bytes()
+    # split into 3 separately-gzipped members (like BGZF blocks)
+    cut1, cut2 = len(raw) // 3, 2 * len(raw) // 3
+    multi = tmp_path / "multi.vcf.gz"
+    with open(multi, "wb") as fh:
+        for part in (raw[:cut1], raw[cut1:cut2], raw[cut2:]):
+            fh.write(gz.compress(part))
+    blk = process_single_vcf(multi, SAMPLES, 0.0)
+    np.testing.assert_array_equal(blk.dosages, dos)
