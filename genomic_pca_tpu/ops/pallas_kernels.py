@@ -58,7 +58,9 @@ def _standardize_tile(g, mean_col, inv_col, out_dtype):
     """(tile_d, n) int8 -> standardized out_dtype on the VPU.
 
     The missing-sentinel compare runs on the f32 cast (int8 values are
-    exactly representable) because Mosaic v5e has no int8 vector cmp.
+    exactly representable) — Mosaic v5e supports neither int8 nor bf16
+    vector compares, so f32 is the only mask path and sets the VMEM
+    working-set floor.
     """
     gf = g.astype(jnp.float32)
     x = gf * inv_col + (-mean_col * inv_col)
@@ -310,8 +312,10 @@ def fused_right_apply_2d(
         out_specs=pl.BlockSpec((tile_d, ell), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, ell), jnp.float32),
+        # Outer (row-block) dim touches disjoint outputs -> parallel;
+        # inner dim accumulates -> sequential.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary")
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * d * n * ell,
@@ -359,7 +363,7 @@ def fused_left_apply_2d(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, ell), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary")
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * d * n * ell,
