@@ -168,11 +168,8 @@ def compute_eigensnp_pca(
             for pos in range(0, len(idxs), chunk_b):
                 chunk = idxs[pos : pos + chunk_b]
                 xs = [
-                    np.asarray(
-                        prep.fetch_block_standardized(
-                            prep.blocks[i].pca_snp_ids, subset,
-                            pad_rows_to=bucket,
-                        )
+                    prep.fetch_block_standardized(
+                        prep.blocks[i].pca_snp_ids, subset, pad_rows_to=bucket
                     )
                     for i in chunk
                 ]
@@ -231,10 +228,8 @@ def compute_eigensnp_pca(
         for pos in range(0, len(idxs), chunk_b):
             chunk = idxs[pos : pos + chunk_b]
             xs = [
-                np.asarray(
-                    prep.fetch_block_standardized(
-                        prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
-                    )
+                prep.fetch_block_standardized(
+                    prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
                 )
                 for i in chunk
             ]
