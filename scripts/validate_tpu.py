@@ -131,9 +131,11 @@ def main() -> int:
     ev = exact.eigenvalues
     separated = []
     for j in range(k_eff):
-        gap_below = (ev[j] - ev[j + 1]) / ev[0] if j + 1 < len(ev) else 1.0
-        gap_above = (ev[j - 1] - ev[j]) / ev[0] if j > 0 else 1.0
-        if min(gap_below, gap_above) > 0.01:
+        # gaps normalized LOCALLY (λ1 dominates at large D and would make
+        # a global normalization vacuous)
+        gap_below = (ev[j] - ev[j + 1]) / ev[j] if j + 1 < len(ev) else 1.0
+        gap_above = (ev[j - 1] - ev[j]) / ev[j] if j > 0 else 1.0
+        if min(gap_below, gap_above) > 0.02:
             separated.append(j)
     min_r = min((rs[j] for j in separated), default=1.0)
 

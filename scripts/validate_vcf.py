@@ -131,10 +131,10 @@ def main() -> int:
         j
         for j in range(k_eff)
         if min(
-            (ev[j] - ev[j + 1]) / ev[0] if j + 1 < len(ev) else 1.0,
-            (ev[j - 1] - ev[j]) / ev[0] if j > 0 else 1.0,
+            (ev[j] - ev[j + 1]) / ev[j] if j + 1 < len(ev) else 1.0,
+            (ev[j - 1] - ev[j]) / ev[j] if j > 0 else 1.0,
         )
-        > 0.01
+        > 0.02
     ]
     min_r = min((rs[j] for j in separated), default=1.0)
     log.info("Per-PC |r|: %s (separated: %s)", [f"{r:.6f}" for r in rs],
