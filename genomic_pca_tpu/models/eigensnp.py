@@ -128,6 +128,9 @@ def compute_eigensnp_pca(
     )
 
     diag: Optional[Dict] = {"blocks": []} if cfg.collect_diagnostics else None
+    import time as _time
+
+    _t_stage = _time.perf_counter()
 
     # ---- Stage 1: local bases on the sample subset -------------------
     subset = _choose_sample_subset(cfg, n)
@@ -213,6 +216,9 @@ def compute_eigensnp_pca(
             {f"block_{i}": u for i, u in enumerate(local_bases)},
         )
 
+    log.info("EigenSNP stage 1 done in %.1fs.", _time.perf_counter() - _t_stage)
+    _t_stage = _time.perf_counter()
+
     # ---- Stage 2: condensed projection + global PCA ------------------
     # Batched like stage 1: group blocks by (bucket, c_b) and project all
     # samples through the local bases with one batched dot per chunk.
@@ -274,6 +280,12 @@ def compute_eigensnp_pca(
         s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) orthonormal score basis
         ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
 
+    log.info(
+        "EigenSNP stage 2 + global PCA done in %.1fs.",
+        _time.perf_counter() - _t_stage,
+    )
+    _t_stage = _time.perf_counter()
+
     # ---- Refinement + final eigensolve + loadings --------------------
     # The refinement is subspace iteration seeded with the stage-2 basis —
     # exactly the fused single-program PCA core (power loop -> condensed
@@ -319,6 +331,11 @@ def compute_eigensnp_pca(
         )
         loadings = (a.right_apply(v) * inv_sigma[None, :]).astype(np.float32)
         eigenvalues = np.asarray(evals, dtype=np.float64) / max(n - 1, 1)
+
+    log.info(
+        "EigenSNP refinement + finalization done in %.1fs.",
+        _time.perf_counter() - _t_stage,
+    )
 
     if diag is not None:
         diag["global"] = {
