@@ -118,6 +118,7 @@ def main() -> int:
     oracle_time = time.time() - t0
 
     k_eff = min(args.k, res.scores.shape[1], exact.scores.shape[1])
+    scores_ours = res.scores
     rs = []
     for j in range(k_eff):
         r = np.corrcoef(res.scores[:, j], exact.scores[:, j])[0, 1]
@@ -138,6 +139,16 @@ def main() -> int:
         if min(gap_below, gap_above) > 0.02:
             separated.append(j)
     min_r = min((rs[j] for j in separated), default=1.0)
+
+    # Subspace concordance of the leading "structure block": individual
+    # PCs inside a cluster of near-equal eigenvalues may rotate, but the
+    # span they carry must match.  The block ends at the largest
+    # eigenvalue cliff within k.
+    ratios = [ev[j] / ev[j + 1] for j in range(min(k_eff, len(ev) - 1))]
+    m = int(np.argmax(ratios)) + 1 if ratios else k_eff
+    q_ours, _ = np.linalg.qr(scores_ours[:, :m])
+    q_ref, _ = np.linalg.qr(exact.scores[:, :m])
+    subspace_min_cos = float(np.linalg.svd(q_ours.T @ q_ref, compute_uv=False).min())
 
     # Eigenvalue agreement is rotation-invariant but randomized truncation
     # biases the degenerate noise bulk downward; compare separated PCs.
@@ -163,9 +174,13 @@ def main() -> int:
         "effective_snps_per_sec": round(snps_per_sec, 1),
         "min_abs_r_separated": round(min_r, 6),
         "separated_pcs": [j + 1 for j in separated],
+        "structure_block_size": int(m),
+        "subspace_min_cos": round(subspace_min_cos, 6),
         "per_pc_abs_r": [round(r, 6) for r in rs],
         "eigenvalue_max_rel_err": round(ev_rel_err, 6),
-        "pass": bool(min_r > 0.999 and ev_rel_err < 0.02),
+        "pass": bool(
+            min_r > 0.999 and ev_rel_err < 0.02 and subspace_min_cos > 0.999
+        ),
     }
     print(json.dumps(summary))
     return 0 if summary["pass"] else 1

@@ -122,6 +122,7 @@ def main() -> int:
     oracle_time = time.time() - t0
 
     k_eff = min(scores.shape[1], exact.scores.shape[1])
+    scores_ours = scores
     rs = [
         abs(float(np.corrcoef(scores[:, j], exact.scores[:, j])[0, 1]))
         for j in range(k_eff)
@@ -137,6 +138,16 @@ def main() -> int:
         > 0.02
     ]
     min_r = min((rs[j] for j in separated), default=1.0)
+
+    # Subspace concordance of the leading "structure block": individual
+    # PCs inside a cluster of near-equal eigenvalues may rotate, but the
+    # span they carry must match.  The block ends at the largest
+    # eigenvalue cliff within k.
+    ratios = [ev[j] / ev[j + 1] for j in range(min(k_eff, len(ev) - 1))]
+    m = int(np.argmax(ratios)) + 1 if ratios else k_eff
+    q_ours, _ = np.linalg.qr(scores_ours[:, :m])
+    q_ref, _ = np.linalg.qr(exact.scores[:, :m])
+    subspace_min_cos = float(np.linalg.svd(q_ours.T @ q_ref, compute_uv=False).min())
     log.info("Per-PC |r|: %s (separated: %s)", [f"{r:.6f}" for r in rs],
              [j + 1 for j in separated])
 
@@ -151,7 +162,9 @@ def main() -> int:
         "variants_per_sec_end_to_end": round(args.variants / wf_time, 1),
         "min_abs_r_separated": round(min_r, 6),
         "separated_pcs": [j + 1 for j in separated],
-        "pass": bool(min_r > 0.999),
+        "structure_block_size": int(m),
+        "subspace_min_cos": round(subspace_min_cos, 6),
+        "pass": bool(min_r > 0.999 and subspace_min_cos > 0.999),
     }
     print(json.dumps(summary))
     return 0 if summary["pass"] else 1
