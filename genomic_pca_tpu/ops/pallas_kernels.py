@@ -57,11 +57,24 @@ def _prec(dtype):
 def _standardize_tile(g, mean_col, inv_col, out_dtype):
     """(tile_d, n) int8 -> standardized out_dtype on the VPU.
 
-    The missing-sentinel compare runs on the f32 cast (int8 values are
-    exactly representable) — Mosaic v5e supports neither int8 nor bf16
-    vector compares, so f32 is the only mask path and sets the VMEM
-    working-set floor.
+    f32 mode: mask via an f32 compare (int8 values are exactly
+    representable; Mosaic v5e supports neither int8 nor bf16 vector
+    compares).
+
+    bf16 mode: compare-free arithmetic mask
+    ``clamp(g + 127, 0, 1)`` — exact in bf16 (dosages map to
+    127/128/129, all representable; the -127 sentinel maps to 0), so no
+    f32 intermediate materializes and the VMEM working set halves.  The
+    bf16-rounded scale/shift perturb each SNP's standardization by
+    <=0.4% relative, inside the bf16 error budget.
     """
+    if out_dtype == jnp.bfloat16:
+        gb = g.astype(jnp.bfloat16)
+        mask = jnp.clip(gb + jnp.bfloat16(127.0), 0.0, 1.0)
+        x = gb * inv_col.astype(jnp.bfloat16) + (
+            -mean_col * inv_col
+        ).astype(jnp.bfloat16)
+        return x * mask
     gf = g.astype(jnp.float32)
     x = gf * inv_col + (-mean_col * inv_col)
     x = jnp.where(gf != float(MISSING), x, 0.0)
