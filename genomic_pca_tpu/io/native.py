@@ -48,6 +48,26 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p,  # line_starts
     ]
     lib.plinkio_parse_vcf_lines.restype = ctypes.c_int64
+    lib.plinkio_bgzf_scan.argtypes = [
+        ctypes.c_char_p,  # buf
+        ctypes.c_int64,  # len
+        ctypes.c_int64,  # max_blocks
+        ctypes.c_void_p,  # offsets (int64*)
+        ctypes.c_void_p,  # csizes (int64*)
+        ctypes.c_void_p,  # usizes (int64*)
+    ]
+    lib.plinkio_bgzf_scan.restype = ctypes.c_int64
+    lib.plinkio_bgzf_inflate.argtypes = [
+        ctypes.c_char_p,  # buf
+        ctypes.c_void_p,  # offsets
+        ctypes.c_void_p,  # csizes
+        ctypes.c_void_p,  # usizes
+        ctypes.c_void_p,  # out_offsets
+        ctypes.c_int64,  # n_blocks
+        ctypes.c_int,  # n_threads
+        ctypes.c_void_p,  # out
+    ]
+    lib.plinkio_bgzf_inflate.restype = ctypes.c_int32
     return lib
 
 
@@ -58,17 +78,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception as e:  # toolchain absent or build failure
+        try:
+            # Unconditional: make no-ops when the .so is newer than the
+            # source, rebuilds after source changes.
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception as e:  # toolchain absent or build failure
+            if not os.path.exists(_LIB_PATH):
                 log.info("Native plinkio build unavailable (%s); using numpy paths.", e)
                 return None
+            log.info("Native plinkio rebuild failed (%s); using existing library.", e)
         try:
             _lib = _configure(ctypes.CDLL(_LIB_PATH))
             log.debug("Loaded native plinkio from %s", _LIB_PATH)
@@ -130,3 +153,72 @@ def parse_vcf_lines_native(
         line_starts.ctypes.data,
     )
     return dosages, keep, line_starts, int(n_lines)
+
+
+def bgzf_scan_native(
+    buf: bytes,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Scan complete BGZF blocks in `buf`.
+
+    Returns (offsets, csizes, usizes, consumed_bytes) over the complete
+    blocks found, or None if the native lib is unavailable.  Raises
+    ValueError if the buffer does not start with BGZF framing.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    # Minimum BGZF block is 28 bytes (the EOF marker).
+    max_blocks = len(buf) // 28 + 1
+    offsets = np.empty(max_blocks, dtype=np.int64)
+    csizes = np.empty(max_blocks, dtype=np.int64)
+    usizes = np.empty(max_blocks, dtype=np.int64)
+    n = lib.plinkio_bgzf_scan(
+        buf,
+        ctypes.c_int64(len(buf)),
+        ctypes.c_int64(max_blocks),
+        offsets.ctypes.data,
+        csizes.ctypes.data,
+        usizes.ctypes.data,
+    )
+    if n < 0:
+        raise ValueError("buffer does not start with a BGZF block")
+    n = int(n)
+    consumed = int(offsets[n - 1] + csizes[n - 1]) if n else 0
+    return offsets[:n], csizes[:n], usizes[:n], consumed
+
+
+def bgzf_inflate_native(
+    buf: bytes,
+    offsets: np.ndarray,
+    csizes: np.ndarray,
+    usizes: np.ndarray,
+    n_threads: int = 0,
+) -> Optional[bytes]:
+    """Inflate scanned BGZF blocks in parallel; None if lib unavailable.
+
+    Raises ValueError on corrupt block data (bad deflate stream or CRC).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_blocks = len(offsets)
+    out_offsets = np.zeros(n_blocks, dtype=np.int64)
+    if n_blocks:
+        np.cumsum(usizes[:-1], out=out_offsets[1:])
+    total = int(out_offsets[-1] + usizes[-1]) if n_blocks else 0
+    out = np.empty(total, dtype=np.uint8)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.plinkio_bgzf_inflate(
+        buf,
+        np.ascontiguousarray(offsets, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(csizes, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(usizes, dtype=np.int64).ctypes.data,
+        out_offsets.ctypes.data,
+        ctypes.c_int64(n_blocks),
+        ctypes.c_int(n_threads),
+        out.ctypes.data,
+    )
+    if rc != 0:
+        raise ValueError(f"BGZF inflate failed (native error code {rc})")
+    return out.tobytes()

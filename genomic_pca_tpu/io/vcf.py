@@ -17,9 +17,9 @@ Behavior parity with the reference's noodles-vcf path
   vcf.rs:258).
 * Variant ID = `chrom:pos:ref:alt` (vcf.rs:272-273).
 
-BGZF `.vcf.gz` files are valid multi-member gzip streams, which Python's
-gzip module consumes natively — no separate BGZF codec is needed on the
-read path.
+BGZF `.vcf.gz` files are decompressed block-parallel through the native
+inflater (io/bgzf.py + native/plinkio.cpp); plain multi-member gzip
+falls back to Python's gzip module (identical semantics, serial).
 
 Hot-path design: when FORMAT is exactly "GT" every sample field is 3
 bytes, so the record's sample region has fixed stride 4 and the entire
@@ -66,7 +66,12 @@ def discover_vcf_files(vcf_dir: str) -> List[Path]:
 
 def _open_text(path: Path) -> IO[bytes]:
     if path.name.endswith(".gz"):
-        return gzip.open(path, "rb")
+        from genomic_pca_tpu.io.bgzf import open_maybe_bgzf
+
+        fh = open_maybe_bgzf(path)
+        if fh is not None:  # BGZF: block-parallel native inflate
+            return fh
+        return gzip.open(path, "rb")  # plain gzip (serial by construction)
     return open(path, "rb")
 
 

@@ -5,13 +5,15 @@
 //  * noodles-vcf GT tokenization (/root/reference/src/vcf.rs:103-279)
 //
 // Exposed as a C ABI for ctypes (no pybind11 in the build image).
-// Compile: g++ -O3 -march=native -shared -fPIC -o libplinkio.so plinkio.cpp -lpthread
+// Compile: g++ -O3 -march=native -shared -fPIC -o libplinkio.so plinkio.cpp -lpthread -lz
 
 #include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -193,6 +195,146 @@ int64_t plinkio_parse_vcf_lines(const char* buf, int64_t len,
     keep[row] = 1;
   }
   return n_lines;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF block-parallel inflate.
+//
+// BGZF (the framing used by .vcf.gz/.bed.gz in the htslib ecosystem; the
+// reference consumes it through noodles' BGZF layer) is a sequence of
+// INDEPENDENT gzip members, each <= 64 KiB uncompressed, carrying the
+// compressed block size in a "BC" extra subfield.  Independence makes
+// decompression embarrassingly parallel -- unlike a plain gzip stream,
+// which is inherently serial.  plinkio_bgzf_scan finds block boundaries;
+// plinkio_bgzf_inflate raw-inflates all blocks across threads.
+
+namespace {
+
+// Parse one BGZF member header at buf[0..len).  On success returns the
+// total compressed block size (BSIZE+1) and sets *data_off to the start
+// of the deflate payload; returns 0 if the block is truncated, -1 if the
+// bytes are not a BGZF member.
+int64_t parse_bgzf_header(const uint8_t* buf, int64_t len, int64_t* data_off) {
+  if (len < 18) return 0;
+  if (buf[0] != 0x1f || buf[1] != 0x8b || buf[2] != 8 || !(buf[3] & 4))
+    return -1;  // not gzip, or no FEXTRA -> cannot be BGZF
+  int64_t xlen = buf[10] | (buf[11] << 8);
+  if (12 + xlen > len) return 0;
+  int64_t bsize = -1;
+  for (int64_t p = 12; p + 4 <= 12 + xlen;) {
+    uint8_t si1 = buf[p], si2 = buf[p + 1];
+    int64_t slen = buf[p + 2] | (buf[p + 3] << 8);
+    if (p + 4 + slen > 12 + xlen) return -1;
+    if (si1 == 66 && si2 == 67 && slen == 2) {  // 'B','C'
+      bsize = buf[p + 4] | (buf[p + 5] << 8);
+      break;
+    }
+    p += 4 + slen;
+  }
+  if (bsize < 0) return -1;  // FEXTRA without BC subfield: not BGZF
+  int64_t total = bsize + 1;
+  if (total < 12 + xlen + 8) return -1;
+  *data_off = 12 + xlen;
+  return total;
+}
+
+std::atomic<int32_t> g_bgzf_error;
+
+void inflate_blocks(const uint8_t* buf, const int64_t* offsets,
+                    const int64_t* csizes, const int64_t* usizes,
+                    const int64_t* out_offsets, int64_t begin, int64_t end,
+                    uint8_t* out) {
+  for (int64_t i = begin; i < end; ++i) {
+    if (g_bgzf_error.load(std::memory_order_relaxed)) return;
+    const uint8_t* block = buf + offsets[i];
+    int64_t data_off = 0;
+    int64_t total = parse_bgzf_header(block, csizes[i], &data_off);
+    if (total != csizes[i]) {
+      g_bgzf_error.store(1, std::memory_order_relaxed);
+      return;
+    }
+    int64_t data_len = csizes[i] - data_off - 8;  // strip CRC32+ISIZE
+    uint8_t* dst = out + out_offsets[i];
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) {  // raw deflate
+      g_bgzf_error.store(2, std::memory_order_relaxed);
+      return;
+    }
+    zs.next_in = const_cast<uint8_t*>(block + data_off);
+    zs.avail_in = static_cast<uInt>(data_len);
+    zs.next_out = dst;
+    zs.avail_out = static_cast<uInt>(usizes[i]);
+    int rc = inflate(&zs, Z_FINISH);
+    bool ok = (rc == Z_STREAM_END) &&
+              (static_cast<int64_t>(zs.total_out) == usizes[i]);
+    inflateEnd(&zs);
+    if (!ok) {
+      g_bgzf_error.store(3, std::memory_order_relaxed);
+      return;
+    }
+    // CRC check (matches the gzip module's strictness on the fallback path).
+    const uint8_t* tail = block + csizes[i] - 8;
+    uint32_t want = static_cast<uint32_t>(tail[0]) | (tail[1] << 8) |
+                    (tail[2] << 16) | (static_cast<uint32_t>(tail[3]) << 24);
+    uint32_t got = static_cast<uint32_t>(
+        crc32(crc32(0L, Z_NULL, 0), dst, static_cast<uInt>(usizes[i])));
+    if (want != got) {
+      g_bgzf_error.store(4, std::memory_order_relaxed);
+      return;
+    }
+  }
+}
+
+}  // namespace
+
+// Scan complete BGZF blocks in buf.  Fills offsets/csizes (compressed)
+// and usizes (ISIZE) per block.  Stops at the first block that extends
+// past `len` (a partial tail the caller carries into its next window).
+// Returns the number of complete blocks, or -1 if the buffer does not
+// start with valid BGZF framing.
+int64_t plinkio_bgzf_scan(const uint8_t* buf, int64_t len, int64_t max_blocks,
+                          int64_t* offsets, int64_t* csizes, int64_t* usizes) {
+  int64_t n = 0, pos = 0;
+  while (pos < len && n < max_blocks) {
+    int64_t data_off = 0;
+    int64_t total = parse_bgzf_header(buf + pos, len - pos, &data_off);
+    if (total < 0) return n == 0 ? -1 : n;  // mid-stream garbage: caller errors
+    if (total == 0 || pos + total > len) break;  // partial tail
+    offsets[n] = pos;
+    csizes[n] = total;
+    const uint8_t* tail = buf + pos + total - 4;
+    usizes[n] = static_cast<int64_t>(tail[0]) | (tail[1] << 8) |
+                (tail[2] << 16) | (static_cast<int64_t>(tail[3]) << 24);
+    ++n;
+    pos += total;
+  }
+  return n;
+}
+
+// Inflate n_blocks BGZF blocks (described by offsets/csizes/usizes from
+// plinkio_bgzf_scan) into out at out_offsets, parallel across threads.
+// Returns 0 on success, nonzero error code otherwise.
+int32_t plinkio_bgzf_inflate(const uint8_t* buf, const int64_t* offsets,
+                             const int64_t* csizes, const int64_t* usizes,
+                             const int64_t* out_offsets, int64_t n_blocks,
+                             int n_threads, uint8_t* out) {
+  g_bgzf_error.store(0, std::memory_order_relaxed);
+  if (n_threads <= 1 || n_blocks < 4) {
+    inflate_blocks(buf, offsets, csizes, usizes, out_offsets, 0, n_blocks, out);
+    return g_bgzf_error.load(std::memory_order_relaxed);
+  }
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_blocks + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t begin = t * chunk;
+    int64_t end = std::min(n_blocks, begin + chunk);
+    if (begin >= end) break;
+    workers.emplace_back(inflate_blocks, buf, offsets, csizes, usizes,
+                         out_offsets, begin, end, out);
+  }
+  for (auto& w : workers) w.join();
+  return g_bgzf_error.load(std::memory_order_relaxed);
 }
 
 }  // extern "C"
