@@ -41,6 +41,10 @@ class DataPrepConfig:
     # here is mean-imputation (= exactly what the reference's own Python
     # oracle does, tests/pca.py:110).  Set "error" for strict parity.
     missing_policy: str = "impute_mean"  # "impute_mean" | "error"
+    # Multi-host: partition the SNP-QC scan across processes (each host
+    # reads and QCs only its contiguous BIM range, then keep-masks and
+    # moments are allgathered).  No effect with a single process.
+    distributed_qc: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

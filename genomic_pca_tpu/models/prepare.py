@@ -263,28 +263,31 @@ def perform_sample_qc(
     return idx
 
 
-def prepare_data(config: DataPrepConfig) -> PreparedData:
-    """Full preparation: sample QC -> chunked SNP QC -> LD mapping."""
-    bed = BedReader(config.bed_path)
-    qc_samples = perform_sample_qc(bed, config.sample_keep_path)
-    n_qc = len(qc_samples)
-    if n_qc == 0:
-        raise DataPrepError("Sample QC left 0 samples.")
+def _qc_snp_range(
+    bed: BedReader,
+    config: DataPrepConfig,
+    sample_sel: Optional[np.ndarray],
+    n_qc: int,
+    lo: int,
+    hi: int,
+):
+    """Chunked SNP QC + moments over global BIM rows [lo, hi).
 
-    # IO granularity follows the reference's SNP_IO_CHUNK_SIZE; device
-    # dispatches gather multiple IO chunks into `qc_device_batch`-row
-    # batches (the integer-histogram QC is exact, so batching cannot
-    # change decisions — it only amortizes per-dispatch latency).
+    Returns (keep bool, mean f64, std f64) arrays of length hi - lo.
+    IO granularity follows the reference's SNP_IO_CHUNK_SIZE; device
+    dispatches gather multiple IO chunks into `qc_device_batch`-row
+    batches (the integer-histogram QC is exact, so batching cannot
+    change decisions — it only amortizes per-dispatch latency).
+    """
     chunk = config.snp_chunk_size
     batch_rows = max(chunk, config.qc_device_batch)
     batch_rows = -(-batch_rows // chunk) * chunk
     keep_chunks: List[np.ndarray] = []
     mean_chunks: List[np.ndarray] = []
     std_chunks: List[np.ndarray] = []
-    sample_sel = None if n_qc == bed.n_samples else qc_samples
-    n_batches = -(-bed.n_snps // batch_rows)
-    for bi, bstart in enumerate(range(0, bed.n_snps, batch_rows)):
-        bend = min(bstart + batch_rows, bed.n_snps)
+    n_batches = max(1, -(-(hi - lo) // batch_rows))
+    for bi, bstart in enumerate(range(lo, hi, batch_rows)):
+        bend = min(bstart + batch_rows, hi)
         rows: List[np.ndarray] = []
         for start in range(bstart, bend, chunk):
             end = min(start + chunk, bend)
@@ -318,10 +321,86 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
             bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
             int(qc.keep[: bend - bstart].sum()),
         )
+    if not keep_chunks:
+        return (
+            np.zeros(0, dtype=bool),
+            np.zeros(0, dtype=np.float64),
+            np.zeros(0, dtype=np.float64),
+        )
+    return (
+        np.concatenate(keep_chunks),
+        np.concatenate(mean_chunks),
+        np.concatenate(std_chunks),
+    )
 
-    keep = np.concatenate(keep_chunks)
-    mean_all = np.concatenate(mean_chunks)
-    std_all = np.concatenate(std_chunks)
+
+def _allgather_qc(
+    keep: np.ndarray,
+    mean: np.ndarray,
+    std: np.ndarray,
+    range_size: int,
+    n_snps: int,
+):
+    """Merge per-process QC results for contiguous equal ranges.
+
+    Each process owns global rows [p*range_size, min((p+1)*range_size,
+    n_snps)); locals are padded to range_size (keep=False) so the tiled
+    allgather concatenates fixed shapes in process order, then trimmed
+    back to n_snps.  This is the multi-host replacement for the
+    reference's single-host QC scan (SURVEY §5 long-axis mapping).
+    """
+    from jax.experimental import multihost_utils
+
+    pad = range_size - len(keep)
+    local = {
+        "keep": np.pad(keep, (0, pad)).astype(np.bool_),
+        "mean": np.pad(mean, (0, pad)).astype(np.float64),
+        "std": np.pad(std, (0, pad)).astype(np.float64),
+    }
+    gathered = multihost_utils.process_allgather(local, tiled=True)
+    return (
+        np.asarray(gathered["keep"])[:n_snps],
+        np.asarray(gathered["mean"])[:n_snps],
+        np.asarray(gathered["std"])[:n_snps],
+    )
+
+
+def prepare_data(config: DataPrepConfig) -> PreparedData:
+    """Full preparation: sample QC -> chunked SNP QC -> LD mapping.
+
+    With multiple JAX processes and `config.distributed_qc`, the QC scan
+    itself is sharded: each process reads and QCs only a contiguous
+    1/process_count range of BIM rows, and keep-masks + moments merge via
+    one allgather — removing the single-host QC bottleneck on multi-host
+    slices.  Decisions are exact integer-histogram QC either way, so the
+    distributed scan is bit-identical to the serial one.
+    """
+    bed = BedReader(config.bed_path)
+    qc_samples = perform_sample_qc(bed, config.sample_keep_path)
+    n_qc = len(qc_samples)
+    if n_qc == 0:
+        raise DataPrepError("Sample QC left 0 samples.")
+
+    sample_sel = None if n_qc == bed.n_samples else qc_samples
+    n_proc = jax.process_count()
+    if n_proc > 1 and config.distributed_qc:
+        range_size = -(-bed.n_snps // n_proc)
+        lo = min(jax.process_index() * range_size, bed.n_snps)
+        hi = min(lo + range_size, bed.n_snps)
+        log.info(
+            "Distributed SNP QC: process %d/%d scans rows [%d, %d).",
+            jax.process_index(), n_proc, lo, hi,
+        )
+        keep_l, mean_l, std_l = _qc_snp_range(
+            bed, config, sample_sel, n_qc, lo, hi
+        )
+        keep, mean_all, std_all = _allgather_qc(
+            keep_l, mean_l, std_l, range_size, bed.n_snps
+        )
+    else:
+        keep, mean_all, std_all = _qc_snp_range(
+            bed, config, sample_sel, n_qc, 0, bed.n_snps
+        )
     qc_orig = np.nonzero(keep)[0]
     log.info("SNP QC: %d / %d SNPs passed.", len(qc_orig), bed.n_snps)
 
