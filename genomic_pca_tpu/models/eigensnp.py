@@ -102,6 +102,188 @@ def _choose_sample_subset(cfg: EigenSnpConfig, n_samples: int) -> np.ndarray:
     return np.sort(perm[:n_subset]).astype(np.int64)
 
 
+def _blocks_as_runs(blocks) -> Optional[np.ndarray]:
+    """(B, 2) [start, len] when every block is a contiguous PcaSnpId run.
+
+    LD blocks are disjoint genomic intervals over position-sorted BIM
+    rows, so in practice each block's dense PcaSnpId set is a contiguous
+    run; nested/overlapping block files (first-containing-block
+    semantics) can break that, hence the runtime check.  Returns None if
+    any block is not a run — callers fall back to the host accessor.
+    """
+    runs = np.empty((len(blocks), 2), dtype=np.int64)
+    for i, b in enumerate(blocks):
+        ids = b.pca_snp_ids
+        if len(ids) == 0 or int(ids[-1]) - int(ids[0]) + 1 != len(ids):
+            return None
+        runs[i] = (int(ids[0]), len(ids))
+    return runs
+
+
+def _stage_keys(cfg: EigenSnpConfig, chunk: List[int], chunk_b: int) -> jax.Array:
+    """Per-block sketch keys (same fold-in as the host path)."""
+    return jnp.stack(
+        [
+            key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=i + 1)
+            for i in chunk
+        ]
+        + [key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=0)]
+        * (chunk_b - len(chunk))
+    )
+
+
+def _stages12_device(
+    a,  # ShardedMatrix (HBM-resident int8 + moments)
+    prep: PreparedData,
+    cfg: EigenSnpConfig,
+    subset: np.ndarray,
+    runs: np.ndarray,
+    saved_bases: Optional[List[np.ndarray]],
+):
+    """Stages 1+2 sliced from the device-resident matrix.
+
+    The genotypes were already decoded and uploaded once for the
+    refinement engine; re-using them here removes the two extra BED
+    passes and the standardized-f32 host->device uploads of the host
+    accessor path (4x the int8 bytes).  Numerics are identical: same
+    standardization, same per-block sketch keys, same batched rSVD.
+
+    Returns (local_bases [np arrays], svals or None, y device (C, N)).
+    """
+    n = prep.n_samples
+    groups: Dict[tuple, List[int]] = {}
+    for b_idx, block in enumerate(prep.blocks):
+        d_b = len(block.pca_snp_ids)
+        c_b = min(cfg.components_per_block, d_b, len(subset))
+        bucket = min(_bucket_rows(d_b), a.d_pad)
+        groups.setdefault((bucket, c_b), []).append(b_idx)
+
+    subset_dev = jnp.asarray(subset, dtype=jnp.int32)
+    full_cols = len(subset) >= n  # subset == all samples: reuse the full fetch
+    budget_elems = 256 * 1024 * 1024
+    bases: Dict[int, np.ndarray] = {}
+    svals: Dict[int, np.ndarray] = {}
+    condensed: Dict[int, jax.Array] = {}
+    for (bucket, c_b), idxs in sorted(groups.items()):
+        b_cap = max(1, budget_elems // (bucket * a.n_pad))
+        chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
+        fn = _batched_rsvd(c_b, cfg.local_oversampling, cfg.local_power_iter)
+        for pos in range(0, len(idxs), chunk_b):
+            chunk = idxs[pos : pos + chunk_b]
+            starts = np.zeros(chunk_b, dtype=np.int64)
+            lens = np.zeros(chunk_b, dtype=np.int64)
+            starts[: len(chunk)] = runs[chunk, 0]
+            lens[: len(chunk)] = runs[chunk, 1]
+            xs_full = a.fetch_blocks_device(starts, lens, bucket, None)
+            if saved_bases is not None:
+                us = [saved_bases[i] for i in chunk]
+                us += [np.zeros_like(us[0])] * (chunk_b - len(chunk))
+                u_batch = jnp.asarray(np.stack(us))
+            else:
+                xs_sub = (
+                    xs_full[:, :, :n]
+                    if full_cols
+                    else a.fetch_blocks_device(starts, lens, bucket, subset_dev)
+                )
+                u_batch, s_batch, _ = fn(
+                    xs_sub, _stage_keys(cfg, chunk, chunk_b)
+                )
+                s_np = np.asarray(s_batch)
+                for j, i in enumerate(chunk):
+                    svals[i] = s_np[j]
+            out = _project_blocks_batched(u_batch, xs_full)  # (B, c_b, N_pad)
+            u_np = np.asarray(u_batch)
+            for j, i in enumerate(chunk):
+                bases[i] = u_np[j]
+                condensed[i] = out[j, :, :n]
+    local_bases = [bases[i] for i in range(len(prep.blocks))]
+    y = jnp.concatenate(
+        [condensed[i] for i in range(len(prep.blocks))], axis=0
+    )
+    return local_bases, (svals if saved_bases is None else None), y
+
+
+def _stages12_host(
+    prep: PreparedData,
+    cfg: EigenSnpConfig,
+    subset: np.ndarray,
+    saved_bases: Optional[List[np.ndarray]],
+):
+    """Stages 1+2 through the host accessor (streaming / non-run blocks).
+
+    Returns (local_bases, svals or None, y device (C, N))."""
+    n = prep.n_samples
+    groups: Dict[tuple, List[int]] = {}
+    for b_idx, block in enumerate(prep.blocks):
+        d_b = len(block.pca_snp_ids)
+        c_b = min(cfg.components_per_block, d_b, len(subset))
+        groups.setdefault((_bucket_rows(d_b), c_b), []).append(b_idx)
+
+    budget_elems = 256 * 1024 * 1024
+    results: Dict[int, np.ndarray] = {}
+    svals: Dict[int, np.ndarray] = {}
+    if saved_bases is None:
+        for (bucket, c_b), idxs in sorted(groups.items()):
+            b_cap = max(1, budget_elems // (bucket * max(len(subset), 1)))
+            chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
+            fn = _batched_rsvd(
+                c_b, cfg.local_oversampling, cfg.local_power_iter
+            )
+            for pos in range(0, len(idxs), chunk_b):
+                chunk = idxs[pos : pos + chunk_b]
+                xs = [
+                    prep.fetch_block_standardized(
+                        prep.blocks[i].pca_snp_ids, subset, pad_rows_to=bucket
+                    )
+                    for i in chunk
+                ]
+                while len(xs) < chunk_b:  # batch padding: inert zero blocks
+                    xs.append(np.zeros_like(xs[0]))
+                u_batch, s_batch, _ = fn(
+                    jnp.asarray(np.stack(xs)), _stage_keys(cfg, chunk, chunk_b)
+                )
+                u_batch = np.asarray(u_batch)
+                s_batch = np.asarray(s_batch)
+                for j, i in enumerate(chunk):
+                    results[i] = u_batch[j]
+                    svals[i] = s_batch[j]
+        local_bases = [results[i] for i in range(len(prep.blocks))]
+    else:
+        local_bases = saved_bases
+
+    # Stage 2: project ALL samples through the local bases, batched by
+    # the same (bucket, c_b) grouping.
+    proj_groups: Dict[tuple, List[int]] = {}
+    for b_idx, u_b in enumerate(local_bases):
+        proj_groups.setdefault((u_b.shape[0], u_b.shape[1]), []).append(b_idx)
+
+    condensed_by_block: Dict[int, jax.Array] = {}
+    for (bucket, c_b), idxs in sorted(proj_groups.items()):
+        b_cap = max(1, budget_elems // (bucket * max(n, 1)))
+        chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
+        for pos in range(0, len(idxs), chunk_b):
+            chunk = idxs[pos : pos + chunk_b]
+            xs = [
+                prep.fetch_block_standardized(
+                    prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
+                )
+                for i in chunk
+            ]
+            us = [local_bases[i] for i in chunk]
+            while len(xs) < chunk_b:
+                xs.append(np.zeros_like(xs[0]))
+                us.append(np.zeros_like(us[0]))
+            out = _project_blocks_batched(
+                jnp.asarray(np.stack(us)), jnp.asarray(np.stack(xs))
+            )  # (B, c_b, N)
+            for j, i in enumerate(chunk):
+                condensed_by_block[i] = out[j]
+    y = jnp.concatenate(
+        [condensed_by_block[i] for i in range(len(prep.blocks))], axis=0
+    )
+    return local_bases, (svals if saved_bases is None else None), y
+
+
 def compute_eigensnp_pca(
     prep: PreparedData,
     cfg: EigenSnpConfig,
@@ -132,12 +314,44 @@ def compute_eigensnp_pca(
 
     _t_stage = _time.perf_counter()
 
-    # ---- Stage 1: local bases on the sample subset -------------------
+    # ---- Matrix container (loaded FIRST) ------------------------------
+    # When the int8 matrix is HBM-resident (ShardedMatrix), stages 1-2
+    # slice their blocks straight from it: one BED pass + one upload for
+    # the whole algorithm, instead of two extra BED passes + standardized
+    # f32 uploads through the host accessor.  Streaming containers and
+    # non-contiguous block files keep the host accessor path.
+    a = prep.load_matrix(strip_size=strip_size)
+    runs = _blocks_as_runs(prep.blocks)
+    use_device = runs is not None and hasattr(a, "fetch_blocks_device")
+    if use_device and prep.config.missing_policy == "error":
+        n_miss = a.count_missing()
+        if n_miss:
+            from genomic_pca_tpu.errors import DataPrepError
+
+            raise DataPrepError(
+                f"{n_miss} missing genotypes present post-QC with "
+                "missing_policy='error' (reference accessor semantics, "
+                "prepare.rs:1906-1911)."
+            )
+    log.info(
+        "EigenSNP matrix loaded (%s path) in %.1fs.",
+        "device-resident" if use_device else "host-accessor",
+        _time.perf_counter() - _t_stage,
+    )
+    _t_stage = _time.perf_counter()
+
+    # ---- Stages 1+2: local bases -> condensed projection --------------
+    # Blocks are grouped by (padded-bucket, c_b) and each group runs
+    # through a vmapped randomized SVD + batched projection — one device
+    # dispatch per batch instead of one per block (genome-wide runs have
+    # ~1,400 blocks; per-block dispatch latency would dominate).  Padded
+    # rows are exactly zero, so U keeps exact zero rows there; batch
+    # padding uses zero blocks whose outputs are discarded.
     subset = _choose_sample_subset(cfg, n)
-    local_bases: List[np.ndarray] = []  # U_b, (d_b, c_b) each
     saved = ckpt.load("stage1_bases")
+    saved_bases: Optional[List[np.ndarray]] = None
     if saved is not None and len(saved) == len(prep.blocks):
-        local_bases = [saved[f"block_{i}"] for i in range(len(prep.blocks))]
+        saved_bases = [saved[f"block_{i}"] for i in range(len(prep.blocks))]
     else:
         log.info(
             "EigenSNP stage 1: %d blocks, sample subset %d / %d.",
@@ -145,60 +359,16 @@ def compute_eigensnp_pca(
             len(subset),
             n,
         )
-        # Group blocks by (padded-bucket, c_b) and run each group through a
-        # vmapped randomized SVD — one device dispatch per batch instead of
-        # one per block (genome-wide runs have ~1,400 blocks; per-block
-        # dispatch latency would dominate).  Padded rows are exactly zero,
-        # so U keeps exact zero rows there and the padded bases flow
-        # through stage 2 unchanged; batch-padding slots use zero blocks
-        # whose outputs are discarded.
-        groups: Dict[tuple, List[int]] = {}
-        for b_idx, block in enumerate(prep.blocks):
-            d_b = len(block.pca_snp_ids)
-            c_b = min(cfg.components_per_block, d_b, len(subset))
-            groups.setdefault((_bucket_rows(d_b), c_b), []).append(b_idx)
 
-        # ~1 GB of f32 per staged batch
-        budget_elems = 256 * 1024 * 1024
-        results: Dict[int, np.ndarray] = {}
-        svals: Dict[int, np.ndarray] = {}
-        for (bucket, c_b), idxs in sorted(groups.items()):
-            b_cap = max(1, budget_elems // (bucket * max(len(subset), 1)))
-            chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
-            fn = _batched_rsvd(
-                c_b, cfg.local_oversampling, cfg.local_power_iter
-            )
-            for pos in range(0, len(idxs), chunk_b):
-                chunk = idxs[pos : pos + chunk_b]
-                xs = [
-                    prep.fetch_block_standardized(
-                        prep.blocks[i].pca_snp_ids, subset, pad_rows_to=bucket
-                    )
-                    for i in chunk
-                ]
-                while len(xs) < chunk_b:  # batch padding: inert zero blocks
-                    xs.append(np.zeros_like(xs[0]))
-                keys = jnp.stack(
-                    [
-                        key_for_stage(
-                            cfg.seed, "eigensnp_local_sketch", unit=i + 1
-                        )
-                        for i in chunk
-                    ]
-                    + [
-                        key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=0)
-                    ]
-                    * (chunk_b - len(chunk))
-                )
-                u_batch, s_batch, _ = fn(jnp.asarray(np.stack(xs)), keys)
-                u_batch = np.asarray(u_batch)
-                s_batch = np.asarray(s_batch)
-                for j, i in enumerate(chunk):
-                    results[i] = u_batch[j]
-                    svals[i] = s_batch[j]
+    if use_device:
+        local_bases, svals, y = _stages12_device(
+            a, prep, cfg, subset, runs, saved_bases
+        )
+    else:
+        local_bases, svals, y = _stages12_host(prep, cfg, subset, saved_bases)
 
-        local_bases = [results[i] for i in range(len(prep.blocks))]
-        if diag is not None:
+    if saved_bases is None:
+        if diag is not None and svals is not None:
             for b_idx, block in enumerate(prep.blocks):
                 d_b = len(block.pca_snp_ids)
                 diag["blocks"].append(
@@ -215,43 +385,11 @@ def compute_eigensnp_pca(
             "stage1_bases",
             {f"block_{i}": u for i, u in enumerate(local_bases)},
         )
-
-    log.info("EigenSNP stage 1 done in %.1fs.", _time.perf_counter() - _t_stage)
-    _t_stage = _time.perf_counter()
-
-    # ---- Stage 2: condensed projection + global PCA ------------------
-    # Batched like stage 1: group blocks by (bucket, c_b) and project all
-    # samples through the local bases with one batched dot per chunk.
-    proj_groups: Dict[tuple, List[int]] = {}
-    for b_idx, u_b in enumerate(local_bases):
-        proj_groups.setdefault((u_b.shape[0], u_b.shape[1]), []).append(b_idx)
-
-    budget_elems = 256 * 1024 * 1024
-    condensed_by_block: Dict[int, jax.Array] = {}
-    for (bucket, c_b), idxs in sorted(proj_groups.items()):
-        b_cap = max(1, budget_elems // (bucket * max(n, 1)))
-        chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
-        for pos in range(0, len(idxs), chunk_b):
-            chunk = idxs[pos : pos + chunk_b]
-            xs = [
-                prep.fetch_block_standardized(
-                    prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
-                )
-                for i in chunk
-            ]
-            us = [local_bases[i] for i in chunk]
-            while len(xs) < chunk_b:
-                xs.append(np.zeros_like(xs[0]))
-                us.append(np.zeros_like(us[0]))
-            out = _project_blocks_batched(
-                jnp.asarray(np.stack(us)), jnp.asarray(np.stack(xs))
-            )  # (B, c_b, N)
-            for j, i in enumerate(chunk):
-                condensed_by_block[i] = out[j]
-    y = jnp.concatenate(
-        [condensed_by_block[i] for i in range(len(prep.blocks))], axis=0
-    )  # (C_total, N)
-    log.info("EigenSNP stage 2: condensed matrix %s.", tuple(y.shape))
+    log.info(
+        "EigenSNP stages 1+2: condensed matrix %s in %.1fs.",
+        tuple(y.shape),
+        _time.perf_counter() - _t_stage,
+    )
 
     c_total = int(y.shape[0])
     if c_total < k:
@@ -281,7 +419,7 @@ def compute_eigensnp_pca(
         ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
 
     log.info(
-        "EigenSNP stage 2 + global PCA done in %.1fs.",
+        "EigenSNP global PCA done in %.1fs.",
         _time.perf_counter() - _t_stage,
     )
     _t_stage = _time.perf_counter()
@@ -289,10 +427,10 @@ def compute_eigensnp_pca(
     # ---- Refinement + final eigensolve + loadings --------------------
     # The refinement is subspace iteration seeded with the stage-2 basis —
     # exactly the fused single-program PCA core (power loop -> condensed
-    # eigensolve -> loadings in ONE compile/dispatch).  Streamed/striped
-    # containers without pca_core fall back to per-pass dispatches with
-    # per-pass checkpointing.
-    a = prep.load_matrix(strip_size=strip_size)
+    # eigensolve -> loadings in ONE compile/dispatch) on the matrix
+    # container loaded above.  Streamed/striped containers without
+    # pca_core fall back to per-pass dispatches with per-pass
+    # checkpointing.
     if hasattr(a, "pca_core") and not ckpt.enabled and cfg.refine_passes >= 1:
         v_k, sigma_k, evals_k, loadings = a.pca_core(
             s_basis, cfg.refine_passes, k

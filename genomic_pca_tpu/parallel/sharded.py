@@ -76,6 +76,42 @@ def auto_tile_d(n_pad: int, ell_pad: int = 128, requested: int = 512) -> int:
     return 0
 
 
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _slice_blocks_standardized(
+    geno: jax.Array,  # (D_pad, N_pad) int8
+    mean: jax.Array,  # (D_pad, 1) f32
+    inv_std: jax.Array,  # (D_pad, 1) f32
+    starts: jax.Array,  # (B,) int32 global row starts
+    lens: jax.Array,  # (B,) int32 block lengths (<= bucket)
+    col_idx,  # (C,) int32 sample columns, or None for all columns
+    bucket: int,
+) -> jax.Array:
+    """(B, bucket, C) f32 standardized row-run blocks, sliced on device.
+
+    Rows outside [start, start+len) and missing genotypes standardize to
+    zero (inert padding, same convention as the host accessor).  `starts`
+    and `lens` are traced, so every block batch of a given (bucket, C)
+    shape reuses ONE compiled program.
+    """
+    d_pad = geno.shape[0]
+
+    def one(start, d_b):
+        astart = jnp.minimum(start, d_pad - bucket)
+        g = jax.lax.dynamic_slice_in_dim(geno, astart, bucket, 0)
+        m = jax.lax.dynamic_slice_in_dim(mean, astart, bucket, 0)
+        iv = jax.lax.dynamic_slice_in_dim(inv_std, astart, bucket, 0)
+        if col_idx is not None:
+            g = jnp.take(g, col_idx, axis=1)
+        rows = astart + jnp.arange(bucket, dtype=starts.dtype)
+        rmask = (rows >= start) & (rows < start + d_b)
+        gf = g.astype(jnp.float32)
+        x = gf * iv + (-m * iv)
+        x = jnp.where(gf == float(MISSING), 0.0, x)
+        return jnp.where(rmask[:, None], x, 0.0)
+
+    return jax.vmap(one)(starts, lens)
+
+
 class ShardedMatrix:
     """Standardized genotype operator sharded over the variant axis.
 
@@ -529,6 +565,46 @@ class ShardedMatrix:
         self._right_k = right_k
         self._power_k = power_k
         self._pca_core_k = pca_core_k
+
+    # ---- device-resident block access ---------------------------------
+    def fetch_blocks_device(
+        self,
+        starts: np.ndarray,  # (B,) global row starts (PcaSnpId space)
+        lens: np.ndarray,  # (B,) block lengths
+        bucket: int,
+        col_idx: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """(B, bucket, C) f32 standardized blocks sliced from the
+        HBM-resident int8 matrix — no host round-trip.
+
+        The device analog of the host accessor's
+        `fetch_block_standardized` for blocks that are contiguous
+        PcaSnpId runs; rows beyond each block's length are zero.
+        """
+        bucket = min(bucket, self.d_pad)
+        if int(np.max(lens)) > bucket:
+            raise ValueError(f"block longer than bucket: {np.max(lens)} > {bucket}")
+        return _slice_blocks_standardized(
+            self.geno,
+            self.mean,
+            self.inv_std,
+            jnp.asarray(np.asarray(starts), dtype=jnp.int32),
+            jnp.asarray(np.asarray(lens), dtype=jnp.int32),
+            col_idx,
+            bucket,
+        )
+
+    def count_missing(self) -> int:
+        """Number of missing genotypes among real rows/columns (one
+        scalar download; supports the strict `missing_policy="error"`
+        accessor semantics on the device path)."""
+
+        @jax.jit
+        def count(g):
+            real = g[: self.n_rows, : self.n_samples]
+            return jnp.sum(real == MISSING, dtype=jnp.int64)
+
+        return int(np.asarray(count(self.geno)))
 
     # ---- public passes (each ONE device dispatch) --------------------
     def gram_apply(self, b: jax.Array) -> jax.Array:

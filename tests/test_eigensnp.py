@@ -159,3 +159,67 @@ def test_no_blocks_raises(tmp_path, rng):
     algo = EigenSnpConfig(k_global=3)
     with pytest.raises(ValueError, match="No PCA SNPs"):
         compute_eigensnp_pca(prep, algo)
+
+
+def test_device_and_host_stages_agree(tmp_path, rng):
+    """The device-resident stage engine must match the host accessor path."""
+    from genomic_pca_tpu.models import eigensnp as es
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=400, n_samples=64)
+    prep = prepare_data(cfg)
+    ecfg = EigenSnpConfig(
+        k_global=4, components_per_block=3, min_subset_size=32,
+        max_subset_size=48, subset_factor=0.6,
+    )
+    subset = es._choose_sample_subset(ecfg, prep.n_samples)
+    runs = es._blocks_as_runs(prep.blocks)
+    assert runs is not None  # interval blocks over sorted BIM -> runs
+    a = prep.load_matrix()
+    assert hasattr(a, "fetch_blocks_device")
+
+    ub_d, sv_d, y_d = es._stages12_device(a, prep, ecfg, subset, runs, None)
+    ub_h, sv_h, y_h = es._stages12_host(prep, ecfg, subset, None)
+    assert len(ub_d) == len(ub_h) == len(prep.blocks)
+    for i in range(len(prep.blocks)):
+        np.testing.assert_allclose(ub_d[i], ub_h[i], atol=2e-4)
+        np.testing.assert_allclose(sv_d[i], sv_h[i], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_h), atol=2e-3)
+
+
+def test_non_contiguous_blocks_fall_back(tmp_path, rng):
+    """Nested LD blocks break run-contiguity; result must still be correct."""
+    from genomic_pca_tpu.models import eigensnp as es
+    from genomic_pca_tpu.io.ldblocks import parse_ld_block_file
+
+    n_snps, n_samples = 300, 48
+    geno = make_genotypes(
+        rng, n_snps, n_samples, missing_rate=0.0, n_pops=4, fst=0.3
+    )
+    prefix = str(tmp_path / "nest")
+    bp = np.arange(1, n_snps + 1) * 10
+    write_plink(prefix, geno, bp=list(bp))
+    # Inner block listed first steals the middle of the outer block:
+    # outer's SNP set has a hole -> not a contiguous PcaSnpId run.
+    blocks = tmp_path / "nested.tsv"
+    blocks.write_text(
+        f"1 1001 1600\n"          # inner (positions 1001-1600)
+        f"1 1 {n_snps * 10 + 10}\n"  # outer (everything)
+    )
+    cfg = DataPrepConfig(
+        bed_path=prefix, ld_block_path=str(blocks),
+        min_call_rate=0.0, min_maf=0.0, max_hwe_p=1.0, snp_chunk_size=100,
+    )
+    prep = prepare_data(cfg)
+    assert es._blocks_as_runs(prep.blocks) is None
+    res = compute_eigensnp_pca(
+        prep, EigenSnpConfig(k_global=3, min_subset_size=n_samples)
+    )
+    # Subspace concordance with the exact oracle still holds through the
+    # fallback (equal-FST populations make individual eigenvalues nearly
+    # degenerate, so per-PC correlations are not identifiable).
+    strips = [geno]
+    exact = exact_pca_from_strips(iter(strips), n_samples, k=3)
+    q1, _ = np.linalg.qr(res.scores)
+    q2, _ = np.linalg.qr(exact.scores[:, :3])
+    principal_cosines = np.linalg.svd(q1.T @ q2, compute_uv=False)
+    assert principal_cosines.min() > 0.99, principal_cosines
