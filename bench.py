@@ -19,6 +19,14 @@ import time
 import numpy as np
 
 
+def _host_dosages(rng, n_snps: int, n_samples: int) -> np.ndarray:
+    """Small host-side synthetic dosage block (same Bernoulli scheme)."""
+    thresh = rng.integers(8, 128, size=(n_snps, 1), dtype=np.uint8)
+    r1 = rng.integers(0, 256, size=(n_snps, n_samples), dtype=np.uint8)
+    r2 = rng.integers(0, 256, size=(n_snps, n_samples), dtype=np.uint8)
+    return ((r1 < thresh).astype(np.int8) + (r2 < thresh)).astype(np.int8)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -40,16 +48,41 @@ def main() -> None:
 
 
     rng = np.random.default_rng(0)
-    # Synthetic dosages: two Bernoulli draws via byte thresholds (fast to
-    # generate at biobank scale; throughput doesn't depend on the
-    # frequency spectrum).
-    thresh = rng.integers(8, 128, size=(n_snps, 1), dtype=np.uint8)
-    raw1 = rng.integers(0, 256, size=(n_snps, n_samples), dtype=np.uint8)
-    raw2 = rng.integers(0, 256, size=(n_snps, n_samples), dtype=np.uint8)
-    geno = ((raw1 < thresh).astype(np.int8) + (raw2 < thresh)).astype(np.int8)
+
+    # Synthetic dosages generated ON DEVICE: two Bernoulli draws via
+    # integer thresholds (the frequency spectrum doesn't affect
+    # throughput) plus exact device-side moments.  Avoids uploading the
+    # 512 MB int8 block through the host link.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS
+
+    @jax.jit
+    def make_data(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        thresh = jax.random.randint(k1, (n_snps, 1), 8, 128, dtype=jnp.int32)
+        r1 = jax.random.randint(k2, (n_snps, n_samples), 0, 256, jnp.int32)
+        r2 = jax.random.randint(k3, (n_snps, n_samples), 0, 256, jnp.int32)
+        g = ((r1 < thresh).astype(jnp.int8) + (r2 < thresh)).astype(jnp.int8)
+        n1 = jnp.sum(g == 1, axis=1, dtype=jnp.float32)
+        n2 = jnp.sum(g == 2, axis=1, dtype=jnp.float32)
+        mean = (n1 + 2.0 * n2) / n_samples
+        ssd = (n1 + 4.0 * n2) - n_samples * mean * mean
+        std = jnp.sqrt(jnp.maximum(ssd / (n_samples - 1), 0.0))
+        inv = jnp.where(std > 0, 1.0 / jnp.where(std > 0, std, 1.0), 0.0)
+        return g, mean[:, None], inv[:, None]
 
     mesh = make_mesh(jax.devices()[:1])
-    sm = ShardedMatrix.from_arrays(iter([geno]), mesh=mesh)
+    sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
+    g_dev, mean_dev, inv_dev = make_data(jax.random.key(0))
+    sm = ShardedMatrix(
+        geno=jax.device_put(g_dev, sh),
+        mean=jax.device_put(mean_dev, sh),
+        inv_std=jax.device_put(inv_dev, sh),
+        n_rows=n_snps,
+        n_samples=n_samples,
+        mesh=mesh,
+    )
     b = jnp.asarray(rng.standard_normal((n_samples, ell)), dtype=jnp.float32)
 
     # Warm-up / compile of the EXACT program to be timed (n_iter is a
@@ -84,7 +117,7 @@ def main() -> None:
 
         with tempfile.TemporaryDirectory(prefix="gptpu_bench_") as td:
             d_e2e, n_e2e = (32_768, 1024) if on_tpu else (4096, 256)
-            g2 = geno[:d_e2e, :n_e2e]
+            g2 = _host_dosages(rng, d_e2e, n_e2e)
             write_plink(f"{td}/b", g2, bp=list(range(10, d_e2e * 10 + 10, 10)))
             with open(f"{td}/blocks.tsv", "w") as fh:
                 edges = np.linspace(0, d_e2e * 10 + 20, 17, dtype=np.int64)
@@ -118,7 +151,7 @@ def main() -> None:
     # Reference-strategy baseline: numpy f64 centered Gram accumulation
     # (X^T X over a sample of strips), the oracle's inner loop.
     sample_snps = min(4096, n_snps)
-    xs = geno[:sample_snps].astype(np.float64)
+    xs = _host_dosages(rng, sample_snps, n_samples).astype(np.float64)
     xs -= xs.mean(axis=1, keepdims=True)
     t0 = time.perf_counter()
     _ = xs.T @ xs
