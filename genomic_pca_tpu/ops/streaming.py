@@ -61,7 +61,7 @@ class StreamingMatrix:
         n_samples: int,
         strip_size: int,
         mode: Optional[str] = None,
-        tile_d: int = 512,
+        tile_d: int = 1024,
         kernel_precision: str = "bf16",
         prefetch_depth: int = 3,
         prefetch_workers: int = 4,
@@ -77,7 +77,9 @@ class StreamingMatrix:
         if mode == "pallas":
             from genomic_pca_tpu.parallel.sharded import auto_tile_d
 
-            fitted = auto_tile_d(self.n_pad, requested=tile_d)
+            fitted = auto_tile_d(
+                self.n_pad, requested=tile_d, precision=kernel_precision
+            )
             if fitted == 0:
                 mode = "xla"  # sample axis too wide for a VMEM row tile
             else:

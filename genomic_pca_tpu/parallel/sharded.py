@@ -52,24 +52,33 @@ def _default_mode() -> str:
     return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
 
-# VMEM budget for kernel working sets, calibrated against the measured
-# v5e limit: tile_d=1024 at N=2048 overflowed the 16 MiB scoped budget by
-# 0.5 MiB while tile_d=512 fit comfortably.
+# VMEM budget for kernel working sets, calibrated against measured v5e
+# limits: bf16 mode fits tile_d=1024 at N=2048 but tile_d=2048 fails to
+# compile; f32 mode fits tile_d=512 but not 1024 (scripts/tune_kernels.py).
 _VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
-def auto_tile_d(n_pad: int, ell_pad: int = 128, requested: int = 512) -> int:
+def auto_tile_d(
+    n_pad: int,
+    ell_pad: int = 128,
+    requested: int = 1024,
+    precision: str = "bf16",
+) -> int:
     """Largest power-of-two row tile whose working set fits VMEM.
 
-    Per grid step the gram kernel holds: int8 tile (x2 buffers), the f32
-    standardize intermediate, its bf16 copy, B and the (n_pad, ell) f32
-    accumulator.  At biobank sample counts (n_pad ~ 500k) no row tile
-    fits — callers must fall back to the XLA path (return 0).
+    Per grid step the gram kernel holds the int8 tile (x2 pipeline
+    buffers) plus the standardize intermediates — bf16 mode is
+    compare-free and never materializes an f32 copy (6 B/element);
+    f32 mode does (10 B/element) — alongside B, its compute-dtype cast
+    and the (n_pad, ell) f32 accumulator.  At biobank sample counts
+    (n_pad ~ 500k) no row tile fits — callers fall back to the 2-D
+    tiled kernels (return 0).
     """
-    fixed = n_pad * ell_pad * (4 + 2) + n_pad * ell_pad * 4  # B, B.bf16, out
+    bf16 = precision != "f32"
+    fixed = n_pad * ell_pad * (4 + (2 if bf16 else 4)) + n_pad * ell_pad * 4
+    per_row = n_pad * ((2 * 1 + 2 + 2) if bf16 else (2 * 1 + 4 + 4))
     tile = min(requested, 1024)
     while tile >= 32:
-        per_row = n_pad * (2 * 1 + 4 + 2)  # g x2, x f32, x bf16
         if fixed + tile * per_row <= _VMEM_BUDGET:
             return tile
         tile //= 2
@@ -131,7 +140,7 @@ class ShardedMatrix:
         n_samples: int,
         mesh: Mesh,
         mode: Optional[str] = None,
-        tile_d: int = 512,
+        tile_d: int = 1024,
         kernel_precision: str = "bf16",
     ):
         self.geno = geno
@@ -144,7 +153,9 @@ class ShardedMatrix:
         self.kernel_precision = kernel_precision
         self.d_pad, self.n_pad = geno.shape
         if self.mode == "pallas":
-            fitted = auto_tile_d(self.n_pad, requested=tile_d)
+            fitted = auto_tile_d(
+                self.n_pad, requested=tile_d, precision=kernel_precision
+            )
             if fitted == 0:
                 # Sample axis too wide for a full-row VMEM tile: switch to
                 # the 2-D tiled kernels (both axes blocked, small (D, L)
@@ -173,7 +184,7 @@ class ShardedMatrix:
         center_only: bool = False,
         mesh: Optional[Mesh] = None,
         mode: Optional[str] = None,
-        tile_d: int = 512,
+        tile_d: int = 1024,
         kernel_precision: str = "bf16",
     ) -> "ShardedMatrix":
         """Pack host int8 strips into the padded sharded 2-D layout.
@@ -255,7 +266,7 @@ class ShardedMatrix:
         n_samples: int,
         mesh: Optional[Mesh] = None,
         mode: Optional[str] = None,
-        tile_d: int = 512,
+        tile_d: int = 1024,
         kernel_precision: str = "bf16",
         center_only: bool = False,
     ) -> "ShardedMatrix":

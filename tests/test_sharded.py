@@ -180,6 +180,10 @@ def test_auto_tile_d():
 
     # modest sample counts keep the requested tile
     assert auto_tile_d(2048, 128, 512) == 512
+    # bf16 mode (compare-free, no f32 intermediate) fits 1024 at N=2048,
+    # f32 mode only 512 — both verified on hardware (scripts/tune_kernels.py)
+    assert auto_tile_d(2048, 128, 1024, "bf16") == 1024
+    assert auto_tile_d(2048, 128, 1024, "f32") == 512
     # growing N shrinks the tile...
     t = auto_tile_d(8192, 128, 512)
     assert 0 < t < 512
