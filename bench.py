@@ -149,13 +149,17 @@ def main() -> None:
         e2e = {"eigensnp_e2e_error": str(e)}
 
     # Reference-strategy baseline: numpy f64 centered Gram accumulation
-    # (X^T X over a sample of strips), the oracle's inner loop.
+    # (X^T X over a sample of strips), the oracle's inner loop.  Best of
+    # 3 reps — the shared host's load varies run to run and a single
+    # timing can understate the baseline by 3x.
     sample_snps = min(4096, n_snps)
     xs = _host_dosages(rng, sample_snps, n_samples).astype(np.float64)
     xs -= xs.mean(axis=1, keepdims=True)
-    t0 = time.perf_counter()
-    _ = xs.T @ xs
-    base_dt = time.perf_counter() - t0
+    base_dt = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        _ = xs.T @ xs
+        base_dt = min(base_dt, time.perf_counter() - t0)
     base_snps_per_sec = sample_snps / base_dt
 
     print(

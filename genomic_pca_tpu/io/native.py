@@ -43,6 +43,7 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64,  # len
         ctypes.c_int64,  # n_samples
         ctypes.c_int64,  # max_lines
+        ctypes.c_int,  # n_threads
         ctypes.c_void_p,  # dosages
         ctypes.c_void_p,  # keep
         ctypes.c_void_p,  # line_starts
@@ -132,13 +133,15 @@ def decode_bed_native(
 
 
 def parse_vcf_lines_native(
-    buf: bytes, n_samples: int
+    buf: bytes, n_samples: int, n_threads: int = 0
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
     """Parse VCF data lines; returns (dosages, keep, line_starts, n_lines)
     or None if the native lib is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
     max_lines = buf.count(b"\n") + 1
     dosages = np.empty((max_lines, n_samples), dtype=np.int8)
     keep = np.zeros(max_lines, dtype=np.uint8)
@@ -148,6 +151,7 @@ def parse_vcf_lines_native(
         ctypes.c_int64(len(buf)),
         ctypes.c_int64(n_samples),
         ctypes.c_int64(max_lines),
+        ctypes.c_int(n_threads),
         dosages.ctypes.data,
         keep.ctypes.data,
         line_starts.ctypes.data,

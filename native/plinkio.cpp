@@ -98,10 +98,131 @@ void plinkio_decode_bed(const uint8_t* packed, const int64_t* snp_offsets,
 //   line_starts  = byte offset of each line (for the caller to extract
 //                  CHROM/POS/REF/ALT of kept lines)
 // Returns the number of lines found (<= max_lines).
+namespace {
+
+// Parse one data line into drow; returns 1 if the variant is kept.
+// Fast path: when GT is the first FORMAT key and the sample region has
+// the exact fixed 4-byte stride of pure 3-byte diploid GTs, samples
+// decode with no per-byte scanning; any stride/separator surprise falls
+// back to the general scanner (identical semantics), while a verified
+// 3-byte GT with a non-{0,1} allele is a certain whole-variant drop.
+int parse_vcf_one_line(const char* buf, int64_t line_start, int64_t line_end,
+                       int64_t n_samples, int8_t* drow) {
+  // Walk the first 9 tab-separated fields.
+  const char* p = buf + line_start;
+  const char* end = buf + line_end;
+  const char* fields[9];
+  int nf = 0;
+  fields[nf++] = p;
+  for (const char* q = p; q < end && nf < 9; ++q) {
+    if (*q == '\t') fields[nf++] = q + 1;
+  }
+  if (nf < 9) return 0;
+  // REF = field 3, ALT = field 4, FORMAT = field 8.
+  const char* ref = fields[3];
+  const char* alt = fields[4];
+  auto field_len = [&](int idx) {
+    const char* s = fields[idx];
+    const char* e = (idx + 1 < nf) ? fields[idx + 1] - 1 : end;
+    return static_cast<int64_t>(e - s);
+  };
+  if (field_len(3) != 1 || field_len(4) != 1) return 0;
+  auto is_base = [](char c) {
+    switch (c) {
+      case 'A': case 'C': case 'G': case 'T':
+      case 'a': case 'c': case 'g': case 't':
+        return true;
+      default:
+        return false;
+    }
+  };
+  if (!is_base(ref[0]) || !is_base(alt[0])) return 0;
+
+  // FORMAT field: find GT position among ':'-separated keys.
+  const char* fmt = fields[8];
+  const char* fmt_end = fmt;
+  while (fmt_end < end && *fmt_end != '\t') ++fmt_end;
+  int gt_index = -1, fi = 0;
+  for (const char* q = fmt; q < fmt_end;) {
+    const char* key = q;
+    while (q < fmt_end && *q != ':') ++q;
+    if (q - key == 2 && key[0] == 'G' && key[1] == 'T') {
+      gt_index = fi;
+      break;
+    }
+    ++fi;
+    if (q < fmt_end) ++q;
+  }
+  if (gt_index < 0) return 0;
+
+  const char* s0 = (fmt_end < end) ? fmt_end + 1 : end;
+
+  // ---- fixed-stride fast path --------------------------------------
+  if (gt_index == 0 && end - s0 == 4 * n_samples - 1) {
+    bool fallback = false;
+    for (int64_t i = 0; i < n_samples; ++i) {
+      const char* g = s0 + 4 * i;
+      char sep = g[1];
+      // Stride/separator mismatch: shapes the fast path cannot judge
+      // (e.g. "0/1:30" sub-fields) -> general scanner decides.
+      if (sep != '/' && sep != '|') { fallback = true; break; }
+      if (i + 1 < n_samples && g[3] != '\t') { fallback = true; break; }
+      unsigned a = static_cast<unsigned>(g[0]) - '0';
+      unsigned b = static_cast<unsigned>(g[2]) - '0';
+      // Verified 3-byte diploid GT with allele outside {0,1} (missing
+      // '.' or multi-allelic): certain whole-variant drop.
+      if (a > 1 || b > 1) return 0;
+      drow[i] = static_cast<int8_t>(a + b);
+    }
+    if (!fallback) return 1;
+  }
+
+  // ---- general scanner ----------------------------------------------
+  const char* s = s0;
+  int64_t sample = 0;
+  while (sample < n_samples) {
+    const char* fstart = s;
+    while (s < end && *s != '\t') ++s;
+    const char* fend = s;
+    // Locate the GT sub-field.
+    const char* g = fstart;
+    for (int skip = 0; skip < gt_index; ++skip) {
+      while (g < fend && *g != ':') ++g;
+      if (g < fend) ++g; else return 0;
+    }
+    const char* gend = g;
+    while (gend < fend && *gend != ':') ++gend;
+    if (gend - g != 3 || (g[1] != '/' && g[1] != '|')) return 0;
+    int a = (g[0] == '0') ? 0 : (g[0] == '1') ? 1 : -1;
+    int b = (g[2] == '0') ? 0 : (g[2] == '1') ? 1 : -1;
+    if (a < 0 || b < 0) return 0;
+    drow[sample++] = static_cast<int8_t>(a + b);
+    if (s < end) ++s;  // skip tab
+    else break;
+  }
+  if (sample != n_samples) return 0;
+  if (s < end) return 0;  // more sample fields than expected -> drop
+  return 1;
+}
+
+void parse_vcf_rows(const char* buf, const int64_t* starts,
+                    const int64_t* ends, int64_t row_begin, int64_t row_end,
+                    int64_t n_samples, int8_t* dosages, uint8_t* keep) {
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    keep[r] = static_cast<uint8_t>(parse_vcf_one_line(
+        buf, starts[r], ends[r], n_samples, dosages + r * n_samples));
+  }
+}
+
+}  // namespace
+
 int64_t plinkio_parse_vcf_lines(const char* buf, int64_t len,
                                 int64_t n_samples, int64_t max_lines,
-                                int8_t* dosages, uint8_t* keep,
+                                int n_threads, int8_t* dosages, uint8_t* keep,
                                 int64_t* line_starts) {
+  // Pass 1 (serial, memchr-speed): line boundaries.
+  std::vector<int64_t> ends;
+  ends.reserve(static_cast<size_t>(max_lines));
   int64_t n_lines = 0;
   int64_t pos = 0;
   while (pos < len && n_lines < max_lines) {
@@ -112,88 +233,27 @@ int64_t plinkio_parse_vcf_lines(const char* buf, int64_t len,
     pos = line_end + 1;
     if (line_end > line_start && buf[line_end - 1] == '\r') --line_end;
     if (line_end == line_start) continue;  // blank
-
-    int64_t row = n_lines++;
-    line_starts[row] = line_start;
-    keep[row] = 0;
-
-    // Walk the first 9 tab-separated fields.
-    const char* p = buf + line_start;
-    const char* end = buf + line_end;
-    const char* fields[9];
-    int nf = 0;
-    fields[nf++] = p;
-    for (const char* q = p; q < end && nf < 9; ++q) {
-      if (*q == '\t') fields[nf++] = q + 1;
-    }
-    if (nf < 9) continue;
-    // REF = field 3, ALT = field 4, FORMAT = field 8.
-    const char* ref = fields[3];
-    const char* alt = fields[4];
-    auto field_len = [&](int idx) {
-      const char* s = fields[idx];
-      const char* e = (idx + 1 < nf) ? fields[idx + 1] - 1 : end;
-      return static_cast<int64_t>(e - s);
-    };
-    if (field_len(3) != 1 || field_len(4) != 1) continue;
-    auto is_base = [](char c) {
-      switch (c) {
-        case 'A': case 'C': case 'G': case 'T':
-        case 'a': case 'c': case 'g': case 't':
-          return true;
-        default:
-          return false;
-      }
-    };
-    if (!is_base(ref[0]) || !is_base(alt[0])) continue;
-
-    // FORMAT field: find GT position among ':'-separated keys.
-    const char* fmt = fields[8];
-    const char* fmt_end = fmt;
-    while (fmt_end < end && *fmt_end != '\t') ++fmt_end;
-    int gt_index = -1, fi = 0;
-    for (const char* q = fmt; q < fmt_end;) {
-      const char* key = q;
-      while (q < fmt_end && *q != ':') ++q;
-      if (q - key == 2 && key[0] == 'G' && key[1] == 'T') {
-        gt_index = fi;
-        break;
-      }
-      ++fi;
-      if (q < fmt_end) ++q;
-    }
-    if (gt_index < 0) continue;
-
-    // Sample fields.
-    const char* s = (fmt_end < end) ? fmt_end + 1 : end;
-    int8_t* drow = dosages + row * n_samples;
-    int64_t sample = 0;
-    bool bad = false;
-    while (sample < n_samples) {
-      const char* fstart = s;
-      while (s < end && *s != '\t') ++s;
-      const char* fend = s;
-      // Locate the GT sub-field.
-      const char* g = fstart;
-      for (int skip = 0; skip < gt_index; ++skip) {
-        while (g < fend && *g != ':') ++g;
-        if (g < fend) ++g; else { bad = true; break; }
-      }
-      if (bad) break;
-      const char* gend = g;
-      while (gend < fend && *gend != ':') ++gend;
-      if (gend - g != 3 || (g[1] != '/' && g[1] != '|')) { bad = true; break; }
-      int a = (g[0] == '0') ? 0 : (g[0] == '1') ? 1 : -1;
-      int b = (g[2] == '0') ? 0 : (g[2] == '1') ? 1 : -1;
-      if (a < 0 || b < 0) { bad = true; break; }
-      drow[sample++] = static_cast<int8_t>(a + b);
-      if (s < end) ++s;  // skip tab
-      else break;
-    }
-    if (bad || sample != n_samples) continue;
-    if (s < end) continue;  // more sample fields than expected -> drop
-    keep[row] = 1;
+    line_starts[n_lines] = line_start;
+    ends.push_back(line_end);
+    ++n_lines;
   }
+
+  // Pass 2: parse lines, parallel across rows.
+  if (n_threads <= 1 || n_lines < 64) {
+    parse_vcf_rows(buf, line_starts, ends.data(), 0, n_lines, n_samples,
+                   dosages, keep);
+    return n_lines;
+  }
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_lines + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t begin = t * chunk;
+    int64_t row_end = std::min(n_lines, begin + chunk);
+    if (begin >= row_end) break;
+    workers.emplace_back(parse_vcf_rows, buf, line_starts, ends.data(),
+                         begin, row_end, n_samples, dosages, keep);
+  }
+  for (auto& w : workers) w.join();
   return n_lines;
 }
 

@@ -81,6 +81,29 @@ def test_vcf_native_edge_cases(tmp_path, monkeypatch):
     np.testing.assert_array_equal(blk_native.dosages, blk_py.dosages)
 
 
+def test_vcf_parse_thread_invariance(tmp_path, rng):
+    """Row-parallel parse must be bit-identical at any thread count."""
+    from genomic_pca_tpu.io.native import parse_vcf_lines_native
+
+    samples = [f"s{i}" for i in range(17)]
+    dos = rng.integers(0, 3, size=(300, 17)).astype(np.int8)
+    dos[rng.random((300, 17)) < 0.02] = -1  # sprinkle missing -> drops
+    p = tmp_path / "t.vcf"
+    write_vcf(p, dos, samples)
+    body = b"".join(
+        line + b"\n"
+        for line in open(p, "rb").read().split(b"\n")
+        if line and not line.startswith(b"#")
+    )
+    d1, k1, s1, n1 = parse_vcf_lines_native(body, 17, n_threads=1)
+    d4, k4, s4, n4 = parse_vcf_lines_native(body, 17, n_threads=4)
+    assert n1 == n4 == 300
+    np.testing.assert_array_equal(k1, k4)
+    np.testing.assert_array_equal(s1, s4)
+    keep = k1.astype(bool)
+    np.testing.assert_array_equal(d1[:n1][keep[:n1]], d4[:n4][keep[:n4]])
+
+
 def test_vcf_chunk_boundary(tmp_path, rng, monkeypatch):
     """Chunked native parse must be boundary-invariant."""
     samples = [f"s{i}" for i in range(10)]
