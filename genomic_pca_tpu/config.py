@@ -45,6 +45,13 @@ class DataPrepConfig:
     # reads and QCs only its contiguous BIM range, then keep-masks and
     # moments are allgathered).  No effect with a single process.
     distributed_qc: bool = True
+    # Fuse QC with matrix assembly: the QC scan's device-uploaded
+    # genotype batches are retained and the final sharded matrix is
+    # gathered from them on device — one BED pass and one host->device
+    # upload for the whole workflow instead of two of each.  Applies
+    # single-process when the pre-QC block fits comfortably in device
+    # memory; otherwise the scan stays streaming (no behavior change).
+    fuse_qc_matrix: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

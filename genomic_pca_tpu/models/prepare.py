@@ -26,16 +26,45 @@ import logging
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from genomic_pca_tpu.config import DataPrepConfig
 from genomic_pca_tpu.errors import DataPrepError
 from genomic_pca_tpu.io.bed import BedReader
 from genomic_pca_tpu.io.ldblocks import LdBlockSpec, map_snps_to_blocks, parse_ld_block_file
-from genomic_pca_tpu.ops.qc import qc_strip
+from genomic_pca_tpu.ops.qc import genotype_counts, snp_qc_from_counts
 from genomic_pca_tpu.ops.stream import MISSING, StripedMatrix
 
 log = logging.getLogger(__name__)
+
+
+def _device_memory_budget() -> int:
+    """Total HBM across local devices (bytes), best effort."""
+    total = 0
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats()
+            total += int(stats.get("bytes_limit", 0))
+        except Exception:
+            pass
+    return total or 16 * (1 << 30) * max(len(jax.local_devices()), 1)
+
+
+@dataclasses.dataclass
+class QcCapture:
+    """Device-resident genotype batches retained by the QC scan.
+
+    Fuses QC with matrix assembly (`DataPrepConfig.fuse_qc_matrix`): the
+    batches the scan already uploaded for the histogram reduction stay in
+    HBM, and `load_matrix` gathers the QC survivors from them on device —
+    removing the second BED pass and the second host->device upload the
+    reference's design implies (its accessor re-reads every block from
+    the BED after QC, prepare.rs:1861-1872).
+    """
+
+    batch_rows: int = 0
+    batches: List[jax.Array] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -57,6 +86,7 @@ class PreparedData:
     blocks: List[LdBlockSpec]
     n_snps_pre_qc: int
     n_snps_post_qc: int
+    qc_capture: Optional[QcCapture] = None
 
     @property
     def n_samples(self) -> int:
@@ -186,18 +216,65 @@ class PreparedData:
             **kw,
         )
 
-    def _device_memory_budget(self) -> int:
-        """Total HBM across local devices (bytes), best effort."""
-        import jax
+    def _matrix_from_capture(self, mesh):
+        """Assemble the sharded matrix from the QC scan's device batches.
 
-        total = 0
-        for dev in jax.local_devices():
-            try:
-                stats = dev.memory_stats()
-                total += int(stats.get("bytes_limit", 0))
-            except Exception:
-                pass
-        return total or 16 * (1 << 30) * max(len(jax.local_devices()), 1)
+        One jitted program gathers the PCA SNP rows (static per-batch
+        index constants) and pads rows/columns with the missing sentinel;
+        no BED re-read, no second upload.  The result is bit-identical to
+        `ShardedMatrix.from_arrays` over `_strip_gen` (same rows, same
+        inert padding, same moments).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
+        from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+
+        mesh = mesh or make_mesh()
+        n_dev = mesh.devices.size
+        tile_d = 1024
+        d = self.n_pca_snps
+        gran = tile_d * n_dev
+        d_pad = -(-max(d, 1) // gran) * gran
+        n_pad = -(-self.n_samples // 128) * 128
+
+        cap = self.qc_capture
+        batch_of = self.pca_snp_orig_indices // cap.batch_rows
+        within = (self.pca_snp_orig_indices % cap.batch_rows).astype(np.int32)
+        sels = [within[batch_of == b] for b in range(len(cap.batches))]
+
+        @jax.jit
+        def assemble(*gs):
+            rows = [
+                jnp.take(g, jnp.asarray(sel), axis=0)
+                for g, sel in zip(gs, sels)
+                if sel.size
+            ]
+            x = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+            return jnp.pad(
+                x,
+                ((0, d_pad - d), (0, n_pad - x.shape[1])),
+                constant_values=MISSING,
+            )
+
+        sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
+        geno = jax.device_put(assemble(*cap.batches), sh)
+        self.qc_capture = None  # release the pre-QC batches
+
+        mean = np.zeros((d_pad, 1), dtype=np.float32)
+        mean[:d, 0] = self.mean
+        inv = np.zeros((d_pad, 1), dtype=np.float32)
+        s = self.std
+        inv[:d, 0] = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+        return ShardedMatrix(
+            geno=geno,
+            mean=jax.device_put(jnp.asarray(mean), sh),
+            inv_std=jax.device_put(jnp.asarray(inv), sh),
+            n_rows=d,
+            n_samples=self.n_samples,
+            mesh=mesh,
+            tile_d=tile_d,
+        )
 
     def load_matrix(self, strip_size: int = 2048, mesh=None):
         """Materialize A as the production variant-sharded container
@@ -215,7 +292,7 @@ class PreparedData:
 
         n_pad = -(-self.n_samples // 128) * 128
         resident_bytes = self.n_pca_snps * n_pad
-        budget = self._device_memory_budget()
+        budget = _device_memory_budget()
         if jax.process_count() == 1 and resident_bytes > 0.6 * budget:
             log.warning(
                 "Genotype block (%.1f GB) exceeds 60%% of device memory "
@@ -239,6 +316,13 @@ class PreparedData:
                 n_samples=self.n_samples,
                 mesh=mesh,
             )
+
+        if self.qc_capture is not None and self.n_pca_snps > 0:
+            log.info(
+                "Matrix assembly from QC-scan device batches "
+                "(fused path: no BED re-read / re-upload)."
+            )
+            return self._matrix_from_capture(mesh)
 
         gen, means, stds = self._strip_gen(strip_size)
         return ShardedMatrix.from_arrays(
@@ -270,6 +354,7 @@ def _qc_snp_range(
     n_qc: int,
     lo: int,
     hi: int,
+    capture: Optional[QcCapture] = None,
 ):
     """Chunked SNP QC + moments over global BIM rows [lo, hi).
 
@@ -278,10 +363,15 @@ def _qc_snp_range(
     dispatches gather multiple IO chunks into `qc_device_batch`-row
     batches (the integer-histogram QC is exact, so batching cannot
     change decisions — it only amortizes per-dispatch latency).
+
+    With `capture`, each batch's device upload is retained in
+    `capture.batches` for fused matrix assembly (see QcCapture).
     """
     chunk = config.snp_chunk_size
     batch_rows = max(chunk, config.qc_device_batch)
     batch_rows = -(-batch_rows // chunk) * chunk
+    if capture is not None:
+        capture.batch_rows = batch_rows
     keep_chunks: List[np.ndarray] = []
     mean_chunks: List[np.ndarray] = []
     std_chunks: List[np.ndarray] = []
@@ -312,7 +402,13 @@ def _qc_snp_range(
                 raw, ((0, batch_rows - raw.shape[0]), (0, 0)),
                 constant_values=MISSING,
             )
-        qc = qc_strip(raw, n_qc, config)
+        g_dev = jnp.asarray(raw)  # ONE upload per batch
+        counts = genotype_counts(g_dev)
+        if capture is not None:
+            capture.batches.append(g_dev)
+        qc = snp_qc_from_counts(
+            *(np.asarray(c) for c in counts), n_qc, config
+        )
         keep_chunks.append(qc.keep[: bend - bstart])
         mean_chunks.append(qc.mean[: bend - bstart])
         std_chunks.append(qc.std[: bend - bstart])
@@ -383,6 +479,7 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
 
     sample_sel = None if n_qc == bed.n_samples else qc_samples
     n_proc = jax.process_count()
+    capture: Optional[QcCapture] = None
     if n_proc > 1 and config.distributed_qc:
         range_size = -(-bed.n_snps // n_proc)
         lo = min(jax.process_index() * range_size, bed.n_snps)
@@ -398,8 +495,16 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
             keep_l, mean_l, std_l, range_size, bed.n_snps
         )
     else:
+        # QC->matrix fusion: retain the scan's device uploads when the
+        # full pre-QC block fits comfortably in HBM (the post-QC matrix
+        # is a subset, so it fits a fortiori).
+        if config.fuse_qc_matrix:
+            n_pad = -(-n_qc // 128) * 128
+            pre_qc_bytes = bed.n_snps * n_pad
+            if pre_qc_bytes <= 0.45 * _device_memory_budget():
+                capture = QcCapture()
         keep, mean_all, std_all = _qc_snp_range(
-            bed, config, sample_sel, n_qc, 0, bed.n_snps
+            bed, config, sample_sel, n_qc, 0, bed.n_snps, capture=capture
         )
     qc_orig = np.nonzero(keep)[0]
     log.info("SNP QC: %d / %d SNPs passed.", len(qc_orig), bed.n_snps)
@@ -429,4 +534,5 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         blocks=blocks,
         n_snps_pre_qc=bed.n_snps,
         n_snps_post_qc=len(qc_orig),
+        qc_capture=capture if (capture and capture.batches) else None,
     )

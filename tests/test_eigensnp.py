@@ -223,3 +223,35 @@ def test_non_contiguous_blocks_fall_back(tmp_path, rng):
     q2, _ = np.linalg.qr(exact.scores[:, :3])
     principal_cosines = np.linalg.svd(q1.T @ q2, compute_uv=False)
     assert principal_cosines.min() > 0.99, principal_cosines
+
+
+def test_fused_qc_matrix_identical(tmp_path, rng):
+    """QC->matrix fusion must produce the bit-identical sharded matrix
+    (same rows, inert padding, moments) as the BED re-read path."""
+    import dataclasses
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=450, n_samples=40)
+    # small device batches -> several captured batches
+    cfg = dataclasses.replace(cfg, qc_device_batch=200)
+
+    prep_f = prepare_data(cfg)
+    assert prep_f.qc_capture is not None and len(prep_f.qc_capture.batches) > 1
+    sm_f = prep_f.load_matrix()
+    assert prep_f.qc_capture is None  # released after assembly
+
+    prep_r = prepare_data(dataclasses.replace(cfg, fuse_qc_matrix=False))
+    assert prep_r.qc_capture is None
+    sm_r = prep_r.load_matrix()
+
+    assert sm_f.n_rows == sm_r.n_rows and sm_f.n_samples == sm_r.n_samples
+    np.testing.assert_array_equal(np.asarray(sm_f.geno), np.asarray(sm_r.geno))
+    np.testing.assert_array_equal(np.asarray(sm_f.mean), np.asarray(sm_r.mean))
+    np.testing.assert_array_equal(
+        np.asarray(sm_f.inv_std), np.asarray(sm_r.inv_std)
+    )
+
+    # QC decisions/moments are unchanged by capturing
+    np.testing.assert_array_equal(
+        prep_f.pca_snp_orig_indices, prep_r.pca_snp_orig_indices
+    )
+    np.testing.assert_array_equal(prep_f.mean, prep_r.mean)
