@@ -78,6 +78,29 @@ class FamTable:
 
 
 def read_bim(path: Union[str, Path]) -> BimTable:
+    # pandas' C tokenizer is ~20x the Python loop on genome-scale BIMs
+    # (tens of millions of rows).  It is purely an optimization: any
+    # anomaly (ragged rows, NaNs, non-integer bp) falls through to the
+    # authoritative Python loop, which defines the error behavior.
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(
+            path, sep=r"\s+", header=None, dtype=str,
+            skip_blank_lines=True, engine="c",
+        )
+        if df.shape[1] >= 6 and not df.iloc[:, :6].isna().any().any():
+            return BimTable(
+                chrom=df.iloc[:, 0].to_numpy(dtype=object),
+                sid=df.iloc[:, 1].to_numpy(dtype=object),
+                bp=df.iloc[:, 3].astype(np.int64).to_numpy(),
+                a1=df.iloc[:, 4].to_numpy(dtype=object),
+                a2=df.iloc[:, 5].to_numpy(dtype=object),
+            )
+    except (ImportError, ValueError):
+        pass
+    except Exception as e:  # pandas ParserError etc.
+        log.debug("pandas .bim parse failed (%s); using the Python loop.", e)
     chroms, sids, bps, a1s, a2s = [], [], [], [], []
     with open(path, "r") as fh:
         for line in fh:
@@ -101,6 +124,22 @@ def read_bim(path: Union[str, Path]) -> BimTable:
 
 
 def read_fam(path: Union[str, Path]) -> FamTable:
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(
+            path, sep=r"\s+", header=None, dtype=str,
+            skip_blank_lines=True, engine="c",
+        )
+        if df.shape[1] >= 2 and not df.iloc[:, :2].isna().any().any():
+            return FamTable(
+                fid=df.iloc[:, 0].to_numpy(dtype=object),
+                iid=df.iloc[:, 1].to_numpy(dtype=object),
+            )
+    except (ImportError, ValueError):
+        pass
+    except Exception as e:
+        log.debug("pandas .fam parse failed (%s); using the Python loop.", e)
     fids, iids = [], []
     with open(path, "r") as fh:
         for line in fh:

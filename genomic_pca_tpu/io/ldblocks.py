@@ -93,36 +93,57 @@ def map_snps_to_blocks(
     (position i <-> PcaSnpId i); blocks reference that space and come
     sorted by tag.  SNPs contained in no block are excluded from PCA.
     """
-    # Bucket blocks by chromosome, preserving file order for
-    # first-containing-block semantics.
-    by_chrom: Dict[str, List[Tuple[int, int, str]]] = {}
-    for chrom, start, end, tag in parsed_blocks:
-        by_chrom.setdefault(chrom, []).append((start, end, tag))
+    # Vectorized first-containing-block assignment: per chromosome, walk
+    # blocks in FILE order and claim still-unassigned SNPs whose position
+    # falls inside — numpy masks instead of a per-SNP Python scan (the
+    # scan is O(SNPs x blocks) in the interpreter; genome-scale inputs
+    # made it a multi-second hot spot).  Semantics are identical.
+    positions = np.asarray(snp_positions, dtype=np.int64)
+    orig_arr = np.asarray(snp_original_indices, dtype=np.int64)
+    norm_chroms = np.array(
+        [normalize_chromosome_name(str(c)) for c in snp_chroms], dtype=object
+    )
+    n = len(positions)
+    assignment = np.full(n, -1, dtype=np.int64)  # index into parsed_blocks
 
-    tag_to_orig: Dict[str, List[int]] = {}
-    blocked_orig: set = set()
-    for chrom, pos, orig in zip(snp_chroms, snp_positions, snp_original_indices):
-        norm = normalize_chromosome_name(str(chrom))
-        for start, end, tag in by_chrom.get(norm, ()):
-            if start <= pos <= end:
-                tag_to_orig.setdefault(tag, []).append(orig)
-                blocked_orig.add(orig)
-                break
+    snp_idx_by_chrom: Dict[str, np.ndarray] = {}
+    for chrom in set(norm_chroms.tolist()):
+        snp_idx_by_chrom[chrom] = np.nonzero(norm_chroms == chrom)[0]
 
-    pca_orig = np.array(sorted(blocked_orig), dtype=np.int64)
-    if len(pca_orig) == 0:
+    for b_idx, (chrom, start, end, _tag) in enumerate(parsed_blocks):
+        idx = snp_idx_by_chrom.get(chrom)
+        if idx is None or len(idx) == 0:
+            continue
+        pos = positions[idx]
+        hit = (assignment[idx] < 0) & (pos >= start) & (pos <= end)
+        assignment[idx[hit]] = b_idx
+
+    masked_idx = np.nonzero(assignment >= 0)[0]
+    if len(masked_idx) == 0:
         log.warning("No SNPs mapped to any LD blocks after filtering.")
-        return [], pca_orig
+        return [], np.zeros(0, dtype=np.int64)
 
-    orig_to_pca = {int(o): i for i, o in enumerate(pca_orig)}
+    # PcaSnpId space = blocked originals sorted ascending (callers pass
+    # ascending BIM order, making this a no-op sort, but the contract
+    # does not require it).
+    masked_orig = orig_arr[masked_idx]
+    order = np.argsort(masked_orig, kind="stable")
+    pca_orig = masked_orig[order]
+    pca_id_of_input = np.full(n, -1, dtype=np.int64)
+    pca_id_of_input[masked_idx[order]] = np.arange(len(order), dtype=np.int64)
+
+    tag_to_ids: Dict[str, List[np.ndarray]] = {}
+    for b_idx, (_c, _s, _e, tag) in enumerate(parsed_blocks):
+        ids = pca_id_of_input[assignment == b_idx]
+        if len(ids):
+            tag_to_ids.setdefault(tag, []).append(ids)
+
     specs = [
         LdBlockSpec(
             tag=tag,
-            pca_snp_ids=np.array(
-                sorted(orig_to_pca[o] for o in origs), dtype=np.int64
-            ),
+            pca_snp_ids=np.sort(np.concatenate(parts)).astype(np.int64),
         )
-        for tag, origs in tag_to_orig.items()
+        for tag, parts in tag_to_ids.items()
     ]
     specs.sort(key=lambda s: s.tag)
     return specs, pca_orig
