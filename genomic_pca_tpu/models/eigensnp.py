@@ -390,6 +390,7 @@ def compute_eigensnp_pca(
         tuple(y.shape),
         _time.perf_counter() - _t_stage,
     )
+    _t_stage = _time.perf_counter()
 
     c_total = int(y.shape[0])
     if c_total < k:

@@ -376,6 +376,30 @@ def _qc_snp_range(
     mean_chunks: List[np.ndarray] = []
     std_chunks: List[np.ndarray] = []
     n_batches = max(1, -(-(hi - lo) // batch_rows))
+
+    # Bounded async pipeline: device transfers + histogram reductions for
+    # up to 2 batches stay in flight while the host decodes the next
+    # batch (upload and compute overlap BED decode; the depth bound keeps
+    # at most ~3 non-captured batches resident).
+    import collections
+
+    pending: collections.deque = collections.deque()
+
+    def drain(limit: int) -> None:
+        while len(pending) > limit:
+            bi, n_rows_b, counts = pending.popleft()
+            qc = snp_qc_from_counts(
+                *(np.asarray(c) for c in counts), n_qc, config
+            )
+            keep_chunks.append(qc.keep[:n_rows_b])
+            mean_chunks.append(qc.mean[:n_rows_b])
+            std_chunks.append(qc.std[:n_rows_b])
+            log.info(
+                "SNP QC progress: batch %d/%d (%.1f%%), kept %d",
+                bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
+                int(qc.keep[:n_rows_b].sum()),
+            )
+
     for bi, bstart in enumerate(range(lo, hi, batch_rows)):
         bend = min(bstart + batch_rows, hi)
         rows: List[np.ndarray] = []
@@ -402,21 +426,13 @@ def _qc_snp_range(
                 raw, ((0, batch_rows - raw.shape[0]), (0, 0)),
                 constant_values=MISSING,
             )
-        g_dev = jnp.asarray(raw)  # ONE upload per batch
+        g_dev = jnp.asarray(raw)  # ONE upload per batch (async)
         counts = genotype_counts(g_dev)
         if capture is not None:
             capture.batches.append(g_dev)
-        qc = snp_qc_from_counts(
-            *(np.asarray(c) for c in counts), n_qc, config
-        )
-        keep_chunks.append(qc.keep[: bend - bstart])
-        mean_chunks.append(qc.mean[: bend - bstart])
-        std_chunks.append(qc.std[: bend - bstart])
-        log.info(
-            "SNP QC progress: batch %d/%d (%.1f%%), kept %d",
-            bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
-            int(qc.keep[: bend - bstart].sum()),
-        )
+        pending.append((bi, bend - bstart, counts))
+        drain(2)
+    drain(0)
     if not keep_chunks:
         return (
             np.zeros(0, dtype=bool),
