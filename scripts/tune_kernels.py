@@ -216,6 +216,29 @@ def main() -> None:
             continue
         report(f"bf16-nt tile_d={tile_d}", dt)
 
+    # --- 2-D tiled kernels (biobank-wide N path) in-loop -----------------
+    # gram = left(right(b)): the production pallas2d composition.
+    print("\n2-D tiled kernels in-loop (same shape, pallas2d composition):")
+    for tile_d, tile_n in ((512, 2048), (1024, 2048), (512, 1024),
+                           (1024, 1024), (256, 2048)):
+        if d % tile_d or n % tile_n:
+            continue
+
+        def gram2d(g_, m_, iv_, b, td=tile_d, tn=tile_n):
+            w = pk.fused_right_apply_2d(g_, m_, iv_, b, tile_d=td,
+                                        tile_n=tn, precision="bf16")
+            return pk.fused_left_apply_2d(g_, m_, iv_, w, tile_d=td,
+                                          tile_n=tn, precision="bf16")
+
+        fn = loop_of(gram2d)
+        try:
+            dt = timeit(fn, g, mean, inv, b0)
+        except Exception as e:
+            print(f"  2d tile=({tile_d},{tile_n}): FAIL "
+                  f"{str(e).splitlines()[0][:60]}")
+            continue
+        report(f"2d tile=({tile_d},{tile_n})", dt)
+
 
 if __name__ == "__main__":
     main()
