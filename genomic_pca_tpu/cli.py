@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory for stage checkpoint/resume on "
                         "preemptible capacity (extension over the "
                         "reference CLI).")
+    p.add_argument("--eigensnp-no-fuse-qc", action="store_true",
+                   help="Disable the QC->matrix fusion (the fused path "
+                        "keeps the QC scan's device uploads and skips "
+                        "the second BED pass; disable to minimize HBM "
+                        "held during preparation).")
     return p
 
 
@@ -158,6 +163,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 min_maf=_default(args.eigensnp_min_maf, 0.01),
                 max_hwe_p=_default(args.eigensnp_max_hwe_p, 1e-6),
                 snp_chunk_size=_default(args.eigensnp_snp_strip_size, 2000),
+                fuse_qc_matrix=not args.eigensnp_no_fuse_qc,
             )
             algo_cfg = EigenSnpConfig(
                 k_global=_default(args.eigensnp_k_global, 10),

@@ -255,3 +255,16 @@ def test_fused_qc_matrix_identical(tmp_path, rng):
         prep_f.pca_snp_orig_indices, prep_r.pca_snp_orig_indices
     )
     np.testing.assert_array_equal(prep_f.mean, prep_r.mean)
+
+
+def test_fusion_skipped_when_over_budget(tmp_path, rng, monkeypatch):
+    """Capture must be disabled when the pre-QC block exceeds the HBM
+    budget gate; the re-read path still produces a working matrix."""
+    from genomic_pca_tpu.models import prepare as prep_mod
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=300, n_samples=32)
+    monkeypatch.setattr(prep_mod, "_device_memory_budget", lambda: 1024)
+    prep = prepare_data(cfg)
+    assert prep.qc_capture is None
+    sm = prep.load_matrix()
+    assert sm.n_rows == prep.n_pca_snps
