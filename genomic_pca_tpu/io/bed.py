@@ -20,6 +20,7 @@ tests/pca.py:74) counts A2: 00->0, 10->1, 11->2.
 
 from __future__ import annotations
 
+import csv
 import dataclasses
 import logging
 from pathlib import Path
@@ -87,7 +88,7 @@ def read_bim(path: Union[str, Path]) -> BimTable:
 
         df = pd.read_csv(
             path, sep=r"\s+", header=None, dtype=str,
-            skip_blank_lines=True, engine="c",
+            skip_blank_lines=True, engine="c", quoting=csv.QUOTE_NONE,
         )
         if df.shape[1] >= 6 and not df.iloc[:, :6].isna().any().any():
             return BimTable(
@@ -129,7 +130,7 @@ def read_fam(path: Union[str, Path]) -> FamTable:
 
         df = pd.read_csv(
             path, sep=r"\s+", header=None, dtype=str,
-            skip_blank_lines=True, engine="c",
+            skip_blank_lines=True, engine="c", quoting=csv.QUOTE_NONE,
         )
         if df.shape[1] >= 2 and not df.iloc[:, :2].isna().any().any():
             return FamTable(

@@ -26,7 +26,13 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+# Must match plinkio_abi_version() in native/plinkio.cpp.
+_ABI_VERSION = 2
+
+
 def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.plinkio_abi_version.argtypes = []
+    lib.plinkio_abi_version.restype = ctypes.c_int64
     lib.plinkio_decode_bed.argtypes = [
         ctypes.c_void_p,  # packed
         ctypes.c_void_p,  # snp_offsets (int64*)
@@ -94,7 +100,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 return None
             log.info("Native plinkio rebuild failed (%s); using existing library.", e)
         try:
-            _lib = _configure(ctypes.CDLL(_LIB_PATH))
+            lib = ctypes.CDLL(_LIB_PATH)
+            try:
+                version = int(lib.plinkio_abi_version())
+            except AttributeError:
+                version = 1  # pre-versioning builds
+            if version != _ABI_VERSION:
+                # A stale .so with a different signature set would
+                # misinterpret arguments and crash the process; fall back
+                # to the (semantically identical) numpy paths instead.
+                log.warning(
+                    "Native plinkio ABI mismatch (library v%d, binding "
+                    "v%d) and rebuild unavailable; using numpy paths.",
+                    version, _ABI_VERSION,
+                )
+                _lib = None
+                return _lib
+            _lib = _configure(lib)
             log.debug("Loaded native plinkio from %s", _LIB_PATH)
         except OSError as e:
             log.info("Could not load native plinkio (%s); using numpy paths.", e)

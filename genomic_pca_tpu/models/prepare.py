@@ -51,6 +51,23 @@ def _device_memory_budget() -> int:
     return total or 16 * (1 << 30) * max(len(jax.local_devices()), 1)
 
 
+def _default_device_budget() -> int:
+    """HBM of the default device (bytes), best effort.
+
+    The QC-capture batches and the fused-assembly output land on the
+    default device before any resharding, so capture must gate on ONE
+    device's memory, not the sum across local devices.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        if limit:
+            return limit
+    except Exception:
+        pass
+    return 16 * (1 << 30)
+
+
 @dataclasses.dataclass
 class QcCapture:
     """Device-resident genotype batches retained by the QC scan.
@@ -149,7 +166,9 @@ class PreparedData:
         # genome-wide x ~40 ms dispatch latency on relayed backends).
         # The heavyweight standardize stays fused on-device in the
         # streamed engines.
-        inv = np.where(std > 0, 1.0 / np.where(std > 0, std, 1.0), 0.0)
+        from genomic_pca_tpu.parallel.sharded import inv_std_of
+
+        inv = inv_std_of(std)
         x = raw.astype(np.float32) * inv[:, None].astype(np.float32) + (
             -mean * inv
         )[:, None].astype(np.float32)
@@ -261,11 +280,34 @@ class PreparedData:
         geno = jax.device_put(assemble(*cap.batches), sh)
         self.qc_capture = None  # release the pre-QC batches
 
+        if self.config.missing_policy == "error":
+            # The re-read path host-checks every strip (_strip_gen); the
+            # fused path must enforce the same contract here, not rely on
+            # a downstream consumer doing it.
+            n_miss = int(
+                np.asarray(
+                    jax.jit(
+                        lambda g: jnp.sum(
+                            g[:d, : self.n_samples] == MISSING,
+                            dtype=jnp.int64,
+                        )
+                    )(geno)
+                )
+            )
+            if n_miss:
+                raise DataPrepError(
+                    f"{n_miss} missing genotypes present post-QC with "
+                    "missing_policy='error' (reference accessor "
+                    "semantics, prepare.rs:1906-1911)."
+                )
+
         mean = np.zeros((d_pad, 1), dtype=np.float32)
         mean[:d, 0] = self.mean
         inv = np.zeros((d_pad, 1), dtype=np.float32)
         s = self.std
-        inv[:d, 0] = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+        from genomic_pca_tpu.parallel.sharded import inv_std_of
+
+        inv[:d, 0] = inv_std_of(s)
         return ShardedMatrix(
             geno=geno,
             mean=jax.device_put(jnp.asarray(mean), sh),
@@ -512,12 +554,15 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         )
     else:
         # QC->matrix fusion: retain the scan's device uploads when the
-        # full pre-QC block fits comfortably in HBM (the post-QC matrix
-        # is a subset, so it fits a fortiori).
-        if config.fuse_qc_matrix:
+        # full pre-QC block fits comfortably on the DEFAULT device (the
+        # batches and the assembly output land there before resharding;
+        # the post-QC matrix is a subset, so it fits a fortiori).
+        # Single-process only: the multi-process load path reads each
+        # process's own row range and would never consume the capture.
+        if config.fuse_qc_matrix and n_proc == 1:
             n_pad = -(-n_qc // 128) * 128
             pre_qc_bytes = bed.n_snps * n_pad
-            if pre_qc_bytes <= 0.45 * _device_memory_budget():
+            if pre_qc_bytes <= 0.45 * _default_device_budget():
                 capture = QcCapture()
         keep, mean_all, std_all = _qc_snp_range(
             bed, config, sample_sel, n_qc, 0, bed.n_snps, capture=capture

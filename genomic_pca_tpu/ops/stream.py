@@ -205,9 +205,9 @@ def _make_strip(
         g = np.concatenate([g, np.zeros((pad, n_samples), dtype=np.int8)], axis=0)
         mean = np.concatenate([mean, np.zeros(pad, dtype=np.float32)])
         std = np.concatenate([std, np.zeros(pad, dtype=np.float32)])
-    inv_std = np.where(std > 0, 1.0 / np.where(std > 0, std, 1.0), 0.0).astype(
-        np.float32
-    )
+    from genomic_pca_tpu.parallel.sharded import inv_std_of
+
+    inv_std = inv_std_of(std).astype(np.float32)
     put = partial(jax.device_put, device=device) if device is not None else jax.device_put
     return Strip(
         geno=put(g),

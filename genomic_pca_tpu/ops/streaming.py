@@ -97,9 +97,9 @@ class StreamingMatrix:
         g = np.asarray(g, dtype=np.int8)
         m = np.asarray(m, dtype=np.float32)
         s = np.asarray(s, dtype=np.float32)
-        inv = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0).astype(
-            np.float32
-        )
+        from genomic_pca_tpu.parallel.sharded import inv_std_of
+
+        inv = inv_std_of(s).astype(np.float32)
         if g.shape[1] < self.n_pad:  # pad samples with missing
             pad = self.n_pad - g.shape[1]
             g = np.pad(g, ((0, 0), (0, pad)), constant_values=MISSING)

@@ -41,6 +41,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def inv_std_of(s: np.ndarray) -> np.ndarray:
+    """1/std with the zero-std convention (0 -> standardize to zero).
+
+    THE canonical expression for the framework's inert-row convention —
+    every matrix-packing site must use it so the fused/re-read/streamed
+    paths stay bit-identical.
+    """
+    s = np.asarray(s)
+    return np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+
+
 def _dot(a, b):
     return jnp.dot(
         a, b, preferred_element_type=jnp.float32,
@@ -241,9 +252,7 @@ class ShardedMatrix:
         m_pad = np.zeros((d_pad, 1), dtype=np.float32)
         m_pad[:n_rows, 0] = m_all
         inv_pad = np.zeros((d_pad, 1), dtype=np.float32)
-        inv_pad[:n_rows, 0] = np.where(
-            s_all > 0, 1.0 / np.where(s_all > 0, s_all, 1.0), 0.0
-        )
+        inv_pad[:n_rows, 0] = inv_std_of(s_all)
 
         sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
         return ShardedMatrix(
@@ -313,9 +322,7 @@ class ShardedMatrix:
         m_loc = np.zeros((local_rows, 1), dtype=np.float32)
         m_loc[: len(m), 0] = m
         inv_loc = np.zeros((local_rows, 1), dtype=np.float32)
-        inv_loc[: len(s), 0] = np.where(
-            s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0
-        )
+        inv_loc[: len(s), 0] = inv_std_of(s)
 
         sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
         if jax.process_count() == 1:

@@ -60,6 +60,13 @@ void decode_rows(const uint8_t* packed, const int64_t* snp_offsets,
 
 extern "C" {
 
+// ABI version of this library.  Bumped whenever any exported signature
+// changes; the Python binding refuses to load a mismatched .so (a stale
+// library would otherwise misinterpret arguments and crash the
+// process).  History: 1 = initial; 2 = n_threads param added to
+// plinkio_parse_vcf_lines.
+int64_t plinkio_abi_version() { return 2; }
+
 // Decode selected SNP rows of a SNP-major .bed byte block into int8
 // dosages (missing = -127).  `snp_offsets[i]` is the byte offset of row
 // i's packed data within `packed`.  Parallel over rows.

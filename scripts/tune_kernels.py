@@ -102,8 +102,6 @@ def main() -> None:
     )
 
     # --- pure bf16 XLA gram (pre-materialized, no dequant) --------------
-    xb = (jnp.ones((d, n), jnp.bfloat16), None)  # placeholder signature
-
     @jax.jit
     def xla_bf16_loop(x, b0):
         def body(_, cur):

@@ -263,6 +263,7 @@ def test_fusion_skipped_when_over_budget(tmp_path, rng, monkeypatch):
     from genomic_pca_tpu.models import prepare as prep_mod
 
     geno, prefix, cfg = _setup(tmp_path, rng, n_snps=300, n_samples=32)
+    monkeypatch.setattr(prep_mod, "_default_device_budget", lambda: 1024)
     monkeypatch.setattr(prep_mod, "_device_memory_budget", lambda: 1024)
     prep = prepare_data(cfg)
     assert prep.qc_capture is None
