@@ -624,6 +624,27 @@ class ShardedMatrix:
 
         return int(np.asarray(count(self.geno)))
 
+    def _rows_to_host(self, arr: jax.Array) -> np.ndarray:
+        """Materialize a variant-sharded (d_pad, k) output on every host.
+
+        Single-process arrays are fully addressable; multi-process ones
+        span other hosts' devices, so each process concatenates its own
+        contiguous row shards (mesh order) and a tiled
+        `process_allgather` assembles the global block — the only
+        cross-host traffic the output path needs (k columns, not the
+        genotype matrix).
+        """
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        shards = sorted(
+            arr.addressable_shards,
+            key=lambda s: s.index[0].start or 0,
+        )
+        local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return np.asarray(multihost_utils.process_allgather(local, tiled=True))
+
     # ---- public passes (each ONE device dispatch) --------------------
     def gram_apply(self, b: jax.Array) -> jax.Array:
         """A^T (A B): (n_samples, l), replicated."""
@@ -636,7 +657,7 @@ class ShardedMatrix:
     def right_apply(self, b: jax.Array) -> np.ndarray:
         """A B on host with padding removed: (n_rows, l)."""
         out = self._right_k(self.geno, self.mean, self.inv_std, b)
-        return np.asarray(out)[: self.n_rows]
+        return self._rows_to_host(out)[: self.n_rows]
 
     def power_iterate(self, b0: jax.Array, n_iter: int) -> jax.Array:
         """n_iter x (B <- qr(A^T A B)) entirely on device: (n_samples, l)
@@ -653,4 +674,4 @@ class ShardedMatrix:
         v, sigma, evals, loadings = self._pca_core_k(
             self.geno, self.mean, self.inv_std, b0, n_iter, k
         )
-        return v, sigma, evals, np.asarray(loadings)[: self.n_rows]
+        return v, sigma, evals, self._rows_to_host(loadings)[: self.n_rows]

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import json
 import logging
+
+import jax
 from typing import Optional
 
 
@@ -76,12 +78,15 @@ def run_vcf_workflow(
         )
 
     with timer.stage("Output writing"):
-        write_principal_components(
-            output_prefix, sample_names, result.scores, suffix="vcf.pca.tsv"
-        )
-        write_eigenvalues(
-            output_prefix, result.eigenvalues if write_real_eigenvalues else []
-        )
+        # SPMD multi-process: every process computes, only process 0
+        # touches the (shared) filesystem.
+        if jax.process_index() == 0:
+            write_principal_components(
+                output_prefix, sample_names, result.scores, suffix="vcf.pca.tsv"
+            )
+            write_eigenvalues(
+                output_prefix, result.eigenvalues if write_real_eigenvalues else []
+            )
 
     timer.log_summary("VCF workflow stage timings")
 
@@ -111,22 +116,26 @@ def run_eigensnp_workflow(
         )
 
     with timer.stage("Output writing"):
-        write_principal_components(
-            output_prefix, prep.sample_ids, result.scores, suffix="eigensnp.pca.tsv"
-        )
-        write_eigenvalues(output_prefix, result.eigenvalues)
-        sids, chroms, positions = prep.snp_metadata()
-        write_loadings(
-            output_prefix,
-            [str(s) for s in sids],
-            [str(c) for c in chroms],
-            [int(p) for p in positions],
-            result.loadings,
-        )
-        if result.diagnostics is not None:
-            path = f"{output_prefix}.eigensnp_diagnostics.json"
-            with open(path, "w") as fh:
-                json.dump(result.diagnostics, fh, indent=2)
-            log.info("Wrote diagnostics to %s", path)
+        # SPMD multi-process: every process computes, only process 0
+        # touches the (shared) filesystem.
+        if jax.process_index() == 0:
+            write_principal_components(
+                output_prefix, prep.sample_ids, result.scores,
+                suffix="eigensnp.pca.tsv",
+            )
+            write_eigenvalues(output_prefix, result.eigenvalues)
+            sids, chroms, positions = prep.snp_metadata()
+            write_loadings(
+                output_prefix,
+                [str(s) for s in sids],
+                [str(c) for c in chroms],
+                [int(p) for p in positions],
+                result.loadings,
+            )
+            if result.diagnostics is not None:
+                path = f"{output_prefix}.eigensnp_diagnostics.json"
+                with open(path, "w") as fh:
+                    json.dump(result.diagnostics, fh, indent=2)
+                log.info("Wrote diagnostics to %s", path)
 
     timer.log_summary("EigenSNP workflow stage timings")

@@ -1,0 +1,32 @@
+"""REAL multi-process execution: distributed QC + per-process loading.
+
+Runs scripts/validate_multiprocess_cpu.py, which forms an actual
+2-process `jax.distributed` group (CPU backend, 2 devices each) and
+checks the full EigenSNP pipeline — distributed QC allgather,
+`from_local_rows` global-array assembly, shard_map+psum compute, and
+cross-process output materialization — against the single-process run.
+
+This covers the multi-host code paths `dryrun_multichip`'s virtual mesh
+cannot: process groups, non-addressable global arrays, and the
+coordination service.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_two_process_eigensnp_matches_single():
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "validate_multiprocess_cpu.py"),
+         "--port", "12953"],
+        capture_output=True, text=True, timeout=560, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["pass"]
+    assert result["min_score_abs_r"] > 0.999
+    assert result["min_loading_abs_r"] > 0.999
