@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -385,3 +386,216 @@ def fused_left_apply_2d(
         ),
         interpret=interpret,
     )(geno, mean, inv_std, w)
+
+
+# ---------------------------------------------------------------------------
+# PLINK 2-bit packed kernels.
+#
+# The BED on-disk encoding IS the optimal HBM layout: 2 bits/genotype is
+# 4x less capacity and read bandwidth than int8, and the bytes can be
+# uploaded exactly as read from disk (no host decode).  These kernels
+# consume a (tile_d, n4) uint8 tile (n4 = N_pad/4 packed bytes) and
+# unpack on the VPU into FOUR SAMPLE PLANES concatenated along lanes —
+# plane p holds original samples {4j + p} — because expanding one byte
+# into 4 adjacent lanes would need a lane-interleave, while plane
+# extraction is a pure elementwise shift.  Consequently every sample-
+# indexed vector (B, outputs over samples) lives in "plane-major"
+# permuted order: permuted position k <-> original sample
+# 4*(k % n4) + k // n4.  Callers apply the (N-sized, trivial)
+# permutation outside the kernel; see parallel/sharded.py.
+#
+# PLINK1 code semantics (count_A1, low bits first — io/bed.py LUT):
+#   00 -> dosage 2, 01 -> missing, 10 -> 1, 11 -> 0,
+# giving the branch-free identity  g = (4 - c) >> 1,  valid = (c != 1)
+# on int32 plane codes (int32 vector ops are supported where the int8 /
+# bf16 compares of the dense path are not).  Row padding is inert via
+# inv_std = 0; column padding bytes are 0x55 (all-missing).
+
+
+def _standardize_packed_tile(pk_tile, mean_col, inv_col, out_dtype):
+    """(tile_d, n4) uint8 -> (tile_d, 4*n4) standardized, plane-major."""
+    c = pk_tile.astype(jnp.int32)
+    scale = inv_col.astype(out_dtype)
+    shift = (-mean_col * inv_col).astype(out_dtype)
+    planes = []
+    for p in range(4):
+        cp = (c >> (2 * p)) & 3
+        gi = (4 - cp) >> 1
+        x = gi.astype(out_dtype) * scale + shift
+        x = jnp.where(cp != 1, x, jnp.zeros_like(x))
+        planes.append(x)
+    return jnp.concatenate(planes, axis=1)
+
+
+def _packed_specs(tile_d: int, n4: int, ell: int):
+    return [
+        pl.BlockSpec((tile_d, n4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_d, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_d, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * n4, ell), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _gram_packed_kernel(g_ref, m_ref, iv_ref, b_ref, out_ref, *, compute_dtype):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = _standardize_packed_tile(g_ref[:], m_ref[:], iv_ref[:], compute_dtype)
+    b = b_ref[:].astype(compute_dtype)
+    prec = _prec(compute_dtype)
+    w = jnp.dot(x, b, preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:] += jnp.dot(
+        x.T, w.astype(compute_dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _right_packed_kernel(g_ref, m_ref, iv_ref, b_ref, out_ref, *, compute_dtype):
+    x = _standardize_packed_tile(g_ref[:], m_ref[:], iv_ref[:], compute_dtype)
+    b = b_ref[:].astype(compute_dtype)
+    out_ref[:] = jnp.dot(
+        x, b, preferred_element_type=jnp.float32, precision=_prec(compute_dtype)
+    )
+
+
+def _tsq_packed_kernel(g_ref, m_ref, iv_ref, b_ref, out_ref, *, compute_dtype):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = _standardize_packed_tile(g_ref[:], m_ref[:], iv_ref[:], compute_dtype)
+    b = b_ref[:].astype(compute_dtype)
+    prec = _prec(compute_dtype)
+    w = jnp.dot(x, b, preferred_element_type=jnp.float32, precision=prec)
+    wc = w.astype(compute_dtype)
+    out_ref[:] += jnp.dot(
+        wc.T, wc, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "precision", "interpret")
+)
+def fused_gram_apply_packed(
+    packed: jax.Array,  # (D, N4) uint8, PLINK 2-bit
+    mean: jax.Array,  # (D, 1) f32
+    inv_std: jax.Array,  # (D, 1) f32
+    b: jax.Array,  # (4*N4, L) f32, PLANE-MAJOR sample order
+    tile_d: int = 1024,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """A^T (A B): (4*N4, L) f32 in plane-major sample order."""
+    d, n4 = packed.shape
+    ell = b.shape[1]
+    assert d % tile_d == 0, (d, tile_d)
+    kernel = functools.partial(
+        _gram_packed_kernel, compute_dtype=_compute_dtype(precision)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tile_d,),
+        in_specs=_packed_specs(tile_d, n4, ell),
+        out_specs=pl.BlockSpec((4 * n4, ell), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * n4, ell), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * d * n4 * ell, bytes_accessed=d * n4 + n4 * ell * 32,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(packed, mean, inv_std, b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "precision", "interpret")
+)
+def fused_right_apply_packed(
+    packed: jax.Array,
+    mean: jax.Array,
+    inv_std: jax.Array,
+    b: jax.Array,  # (4*N4, L) plane-major
+    tile_d: int = 1024,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """A B: (D, L) f32 (row space unchanged)."""
+    d, n4 = packed.shape
+    ell = b.shape[1]
+    assert d % tile_d == 0, (d, tile_d)
+    kernel = functools.partial(
+        _right_packed_kernel, compute_dtype=_compute_dtype(precision)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tile_d,),
+        in_specs=_packed_specs(tile_d, n4, ell),
+        out_specs=pl.BlockSpec(
+            (tile_d, ell), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, ell), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * d * n4 * ell, bytes_accessed=d * n4 + d * ell * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, mean, inv_std, b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "precision", "interpret")
+)
+def fused_tsq_packed(
+    packed: jax.Array,
+    mean: jax.Array,
+    inv_std: jax.Array,
+    b: jax.Array,  # (4*N4, L) plane-major
+    tile_d: int = 1024,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """(A B)^T (A B): (L, L) f32 (sample-order invariant)."""
+    d, n4 = packed.shape
+    ell = b.shape[1]
+    assert d % tile_d == 0, (d, tile_d)
+    kernel = functools.partial(
+        _tsq_packed_kernel, compute_dtype=_compute_dtype(precision)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tile_d,),
+        in_specs=_packed_specs(tile_d, n4, ell),
+        out_specs=pl.BlockSpec((ell, ell), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ell, ell), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * d * n4 * ell + 2 * d * ell * ell,
+            bytes_accessed=d * n4 + ell * ell * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(packed, mean, inv_std, b)
+
+
+def plane_major_perm(n_pad: int) -> np.ndarray:
+    """perm_to_orig: plane-major position k -> original sample index.
+
+    Position k = p * n4 + j holds original sample 4j + p (PLINK packs
+    sample 4j in the LOWEST 2 bits of byte j).  Use as B_perm = B[perm]
+    and T = T_perm[inverse]; the inverse is `np.argsort(perm)`.
+    """
+    assert n_pad % 4 == 0
+    n4 = n_pad // 4
+    k = np.arange(n_pad, dtype=np.int64)
+    return 4 * (k % n4) + k // n4
