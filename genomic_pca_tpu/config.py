@@ -45,6 +45,12 @@ class DataPrepConfig:
     # reads and QCs only its contiguous BIM range, then keep-masks and
     # moments are allgathered).  No effect with a single process.
     distributed_qc: bool = True
+    # Use the PLINK 2-bit packed device pipeline when no sample subset
+    # is selected: BED bytes upload verbatim (no host decode, 4x less
+    # transfer), QC histograms run on packed codes (bit-identical
+    # decisions), and the matrix stays 2-bit in HBM (4x capacity).
+    # Sample keep-lists fall back to the int8 pipeline.
+    packed_pipeline: bool = True
     # Fuse QC with matrix assembly: the QC scan's device-uploaded
     # genotype batches are retained and the final sharded matrix is
     # gathered from them on device — one BED pass and one host->device

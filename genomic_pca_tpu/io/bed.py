@@ -182,6 +182,31 @@ class BedReader:
                 f"{prefix}.bed truncated: {self._mmap.size} bytes, expected {expected}"
             )
 
+    def read_packed(
+        self,
+        snp_indices: Union[slice, Sequence[int], np.ndarray, None] = None,
+    ) -> np.ndarray:
+        """Raw 2-bit packed bytes for the selected SNP rows, ALL samples:
+        (n_selected, bytes_per_snp) uint8 — zero decode cost; feeds the
+        packed device pipeline verbatim (parallel/sharded.py packed
+        layout).  Trailing-bit sanitization is the CALLER's duty
+        (`sanitize_partial_byte`)."""
+        bps = self._bytes_per_snp
+        if snp_indices is None:
+            snp_indices = slice(0, self.n_snps)
+        if isinstance(snp_indices, slice):
+            start, stop, step = snp_indices.indices(self.n_snps)
+            if step == 1:
+                return np.asarray(
+                    self._mmap[3 + start * bps : 3 + stop * bps]
+                ).reshape(stop - start, bps).copy()
+            snp_indices = np.arange(start, stop, step)
+        snp_indices = np.asarray(snp_indices, dtype=np.int64)
+        # memmap view reshape (no copy); the fancy index faults in only
+        # the selected rows' pages.
+        body = self._mmap[3 : 3 + self.n_snps * bps].reshape(self.n_snps, bps)
+        return np.ascontiguousarray(body[snp_indices])
+
     def read(
         self,
         snp_indices: Union[slice, Sequence[int], np.ndarray, None] = None,

@@ -82,6 +82,9 @@ class QcCapture:
 
     batch_rows: int = 0
     batches: List[jax.Array] = dataclasses.field(default_factory=list)
+    # True when batches hold PLINK 2-bit packed bytes (uint8 columns =
+    # padded byte axis) instead of int8 dosages — 4x less HBM held.
+    packed: bool = False
 
 
 @dataclasses.dataclass
@@ -249,6 +252,10 @@ class PreparedData:
         from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
         from genomic_pca_tpu.parallel.sharded import ShardedMatrix
 
+        from genomic_pca_tpu.parallel.sharded import (
+            PACKED_MISSING_BYTE, inv_std_of,
+        )
+
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
         tile_d = 1024
@@ -258,6 +265,8 @@ class PreparedData:
         n_pad = -(-self.n_samples // 128) * 128
 
         cap = self.qc_capture
+        packed = cap.packed
+        pad_value = PACKED_MISSING_BYTE if packed else MISSING
         batch_of = self.pca_snp_orig_indices // cap.batch_rows
         within = (self.pca_snp_orig_indices % cap.batch_rows).astype(np.int32)
         sels = [within[batch_of == b] for b in range(len(cap.batches))]
@@ -270,45 +279,23 @@ class PreparedData:
                 if sel.size
             ]
             x = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+            # Packed batches were already column-padded by the QC scan;
+            # only the row axis needs padding here.
             return jnp.pad(
                 x,
-                ((0, d_pad - d), (0, n_pad - x.shape[1])),
-                constant_values=MISSING,
+                ((0, d_pad - d), (0, 0 if packed else n_pad - x.shape[1])),
+                constant_values=pad_value,
             )
 
         sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
         geno = jax.device_put(assemble(*cap.batches), sh)
         self.qc_capture = None  # release the pre-QC batches
 
-        if self.config.missing_policy == "error":
-            # The re-read path host-checks every strip (_strip_gen); the
-            # fused path must enforce the same contract here, not rely on
-            # a downstream consumer doing it.
-            n_miss = int(
-                np.asarray(
-                    jax.jit(
-                        lambda g: jnp.sum(
-                            g[:d, : self.n_samples] == MISSING,
-                            dtype=jnp.int64,
-                        )
-                    )(geno)
-                )
-            )
-            if n_miss:
-                raise DataPrepError(
-                    f"{n_miss} missing genotypes present post-QC with "
-                    "missing_policy='error' (reference accessor "
-                    "semantics, prepare.rs:1906-1911)."
-                )
-
         mean = np.zeros((d_pad, 1), dtype=np.float32)
         mean[:d, 0] = self.mean
         inv = np.zeros((d_pad, 1), dtype=np.float32)
-        s = self.std
-        from genomic_pca_tpu.parallel.sharded import inv_std_of
-
-        inv[:d, 0] = inv_std_of(s)
-        return ShardedMatrix(
+        inv[:d, 0] = inv_std_of(self.std)
+        sm = ShardedMatrix(
             geno=geno,
             mean=jax.device_put(jnp.asarray(mean), sh),
             inv_std=jax.device_put(jnp.asarray(inv), sh),
@@ -317,6 +304,17 @@ class PreparedData:
             mesh=mesh,
             tile_d=tile_d,
         )
+
+        if self.config.missing_policy == "error" and sm.count_missing():
+            # The re-read path host-checks every strip (_strip_gen); the
+            # fused path must enforce the same contract here, not rely
+            # on a downstream consumer doing it.
+            raise DataPrepError(
+                "Missing genotypes present post-QC with "
+                "missing_policy='error' (reference accessor semantics, "
+                "prepare.rs:1906-1911)."
+            )
+        return sm
 
     def load_matrix(self, strip_size: int = 2048, mesh=None):
         """Materialize A as the production variant-sharded container
@@ -332,8 +330,17 @@ class PreparedData:
 
         from genomic_pca_tpu.parallel.sharded import ShardedMatrix
 
-        n_pad = -(-self.n_samples // 128) * 128
-        resident_bytes = self.n_pca_snps * n_pad
+        packed_ok = (
+            self.config.packed_pipeline
+            and len(self.qc_sample_indices) == self.bed.n_samples
+        )
+        if packed_ok:  # 2-bit resident: 4x the capacity of int8
+            resident_bytes = self.n_pca_snps * (
+                -(-max(-(-self.n_samples // 4), 1) // 128) * 128
+            )
+        else:
+            n_pad = -(-self.n_samples // 128) * 128
+            resident_bytes = self.n_pca_snps * n_pad
         budget = _device_memory_budget()
         if jax.process_count() == 1 and resident_bytes > 0.6 * budget:
             log.warning(
@@ -366,6 +373,30 @@ class PreparedData:
             )
             return self._matrix_from_capture(mesh)
 
+        if (
+            self.config.packed_pipeline
+            and len(self.qc_sample_indices) == self.bed.n_samples
+            and self.n_pca_snps > 0
+        ):
+            # 2-bit resident path without capture: raw BED bytes for the
+            # PCA rows upload verbatim (no decode, 4x less transfer).
+            from genomic_pca_tpu.parallel.sharded import sanitize_partial_byte
+
+            packed_rows = sanitize_partial_byte(
+                self.bed.read_packed(self.pca_snp_orig_indices),
+                self.n_samples,
+            )
+            sm = ShardedMatrix.from_packed_rows(
+                packed_rows, self.mean, self.std, self.n_samples, mesh=mesh
+            )
+            if self.config.missing_policy == "error" and sm.count_missing():
+                raise DataPrepError(
+                    "Missing genotypes present post-QC with "
+                    "missing_policy='error' (reference accessor "
+                    "semantics, prepare.rs:1906-1911)."
+                )
+            return sm
+
         gen, means, stds = self._strip_gen(strip_size)
         return ShardedMatrix.from_arrays(
             gen, means=means, stds=stds, mesh=mesh
@@ -397,6 +428,7 @@ def _qc_snp_range(
     lo: int,
     hi: int,
     capture: Optional[QcCapture] = None,
+    packed: bool = False,
 ):
     """Chunked SNP QC + moments over global BIM rows [lo, hi).
 
@@ -408,39 +440,40 @@ def _qc_snp_range(
 
     With `capture`, each batch's device upload is retained in
     `capture.batches` for fused matrix assembly (see QcCapture).
+
+    `packed=True` (requires sample_sel None) streams raw PLINK 2-bit
+    bytes: no host decode, 4x less upload, histograms on packed codes —
+    decisions are bit-identical either way.
     """
     chunk = config.snp_chunk_size
     batch_rows = max(chunk, config.qc_device_batch)
     batch_rows = -(-batch_rows // chunk) * chunk
+    if packed:
+        assert sample_sel is None, "packed QC requires the full sample set"
+        from genomic_pca_tpu.parallel.sharded import (
+            PACKED_MISSING_BYTE, sanitize_partial_byte,
+        )
+
+        from genomic_pca_tpu.ops.qc import genotype_counts_packed
+
+        n4_pad = -(-max(-(-n_qc // 4), 1) // 128) * 128
     if capture is not None:
         capture.batch_rows = batch_rows
+        capture.packed = packed
     keep_chunks: List[np.ndarray] = []
     mean_chunks: List[np.ndarray] = []
     std_chunks: List[np.ndarray] = []
     n_batches = max(1, -(-(hi - lo) // batch_rows))
 
-    # Bounded async pipeline: device transfers + histogram reductions for
-    # up to 2 batches stay in flight while the host decodes the next
-    # batch (upload and compute overlap BED decode; the depth bound keeps
-    # at most ~3 non-captured batches resident).
-    import collections
-
-    pending: collections.deque = collections.deque()
-
-    def drain(limit: int) -> None:
-        while len(pending) > limit:
-            bi, n_rows_b, counts = pending.popleft()
-            qc = snp_qc_from_counts(
-                *(np.asarray(c) for c in counts), n_qc, config
-            )
-            keep_chunks.append(qc.keep[:n_rows_b])
-            mean_chunks.append(qc.mean[:n_rows_b])
-            std_chunks.append(qc.std[:n_rows_b])
-            log.info(
-                "SNP QC progress: batch %d/%d (%.1f%%), kept %d",
-                bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
-                int(qc.keep[:n_rows_b].sum()),
-            )
+    # Fully-async scan: every batch's upload + histogram reduction is
+    # enqueued without ANY device->host fetch (each fetch costs ~0.9 s
+    # round-trip on relayed backends — fetching 4 small count arrays per
+    # batch dominated the whole scan).  Counts stay on device and come
+    # back in ONE concatenated fetch after the loop; QC filtering is
+    # then a pure-numpy pass.  Without capture, a sparse fence (one tiny
+    # fetch every 4 batches) bounds in-flight batch memory.
+    counts_dev: List[jax.Array] = []
+    batch_sizes: List[int] = []
 
     for bi, bstart in enumerate(range(lo, hi, batch_rows)):
         bend = min(bstart + batch_rows, hi)
@@ -448,7 +481,10 @@ def _qc_snp_range(
         for start in range(bstart, bend, chunk):
             end = min(start + chunk, bend)
             try:
-                rows.append(bed.read(slice(start, end), sample_sel))
+                if packed:
+                    rows.append(bed.read_packed(slice(start, end)))
+                else:
+                    rows.append(bed.read(slice(start, end), sample_sel))
             except (OSError, ValueError) as e:
                 # QC-path chunk failures are logged and skipped — the
                 # chunk's SNPs are excluded, mirroring prepare.rs:1380-1398
@@ -457,11 +493,26 @@ def _qc_snp_range(
                     "SNP QC chunk %d-%d failed (%s); excluding its SNPs.",
                     start, end, e,
                 )
-                rows.append(
-                    np.full((end - start, n_qc), MISSING, dtype=np.int8)
-                )
+                if packed:
+                    rows.append(np.full(
+                        (end - start, bed._bytes_per_snp),
+                        PACKED_MISSING_BYTE, dtype=np.uint8,
+                    ))
+                else:
+                    rows.append(
+                        np.full((end - start, n_qc), MISSING, dtype=np.int8)
+                    )
         raw = np.concatenate(rows, axis=0)
-        if raw.shape[0] < batch_rows:
+        if packed:
+            raw = sanitize_partial_byte(raw, n_qc)
+            # Pad rows (program-shape reuse) and byte columns (128-lane
+            # granularity) with all-missing bytes.
+            raw2 = np.full(
+                (batch_rows, n4_pad), PACKED_MISSING_BYTE, dtype=np.uint8
+            )
+            raw2[: raw.shape[0], : raw.shape[1]] = raw
+            raw = raw2
+        elif raw.shape[0] < batch_rows:
             # Pad the tail batch with all-missing rows (dropped by QC) so
             # the whole pass reuses ONE compiled program shape.
             raw = np.pad(
@@ -469,12 +520,34 @@ def _qc_snp_range(
                 constant_values=MISSING,
             )
         g_dev = jnp.asarray(raw)  # ONE upload per batch (async)
-        counts = genotype_counts(g_dev)
+        if packed:
+            counts = genotype_counts_packed(g_dev, n_qc)
+        else:
+            counts = genotype_counts(g_dev)
+        counts_dev.append(jnp.stack(counts))  # (4, batch_rows) int32
+        batch_sizes.append(bend - bstart)
         if capture is not None:
             capture.batches.append(g_dev)
-        pending.append((bi, bend - bstart, counts))
-        drain(2)
-    drain(0)
+        elif bi % 4 == 3:
+            # Backpressure: batches are not retained, so bound how many
+            # uploads can be in flight at once.
+            np.asarray(counts_dev[bi - 3][0, :1])
+
+    if counts_dev:
+        all_counts = np.asarray(jnp.concatenate(counts_dev, axis=1))
+        pos = 0
+        for bi, n_rows_b in enumerate(batch_sizes):
+            c = all_counts[:, pos : pos + n_rows_b]
+            pos += batch_rows
+            qc = snp_qc_from_counts(c[0], c[1], c[2], c[3], n_qc, config)
+            keep_chunks.append(qc.keep)
+            mean_chunks.append(qc.mean)
+            std_chunks.append(qc.std)
+            log.info(
+                "SNP QC progress: batch %d/%d (%.1f%%), kept %d",
+                bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
+                int(qc.keep.sum()),
+            )
     if not keep_chunks:
         return (
             np.zeros(0, dtype=bool),
@@ -536,6 +609,9 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         raise DataPrepError("Sample QC left 0 samples.")
 
     sample_sel = None if n_qc == bed.n_samples else qc_samples
+    # 2-bit packed pipeline whenever the full sample set is in play
+    # (keep-lists need column subsetting, which packed bytes cannot do).
+    packed = bool(config.packed_pipeline) and sample_sel is None
     n_proc = jax.process_count()
     capture: Optional[QcCapture] = None
     if n_proc > 1 and config.distributed_qc:
@@ -547,7 +623,7 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
             jax.process_index(), n_proc, lo, hi,
         )
         keep_l, mean_l, std_l = _qc_snp_range(
-            bed, config, sample_sel, n_qc, lo, hi
+            bed, config, sample_sel, n_qc, lo, hi, packed=packed
         )
         keep, mean_all, std_all = _allgather_qc(
             keep_l, mean_l, std_l, range_size, bed.n_snps
@@ -560,12 +636,17 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         # Single-process only: the multi-process load path reads each
         # process's own row range and would never consume the capture.
         if config.fuse_qc_matrix and n_proc == 1:
-            n_pad = -(-n_qc // 128) * 128
-            pre_qc_bytes = bed.n_snps * n_pad
+            if packed:
+                n4_pad = -(-max(-(-n_qc // 4), 1) // 128) * 128
+                pre_qc_bytes = bed.n_snps * n4_pad  # 4x more data fits
+            else:
+                n_pad = -(-n_qc // 128) * 128
+                pre_qc_bytes = bed.n_snps * n_pad
             if pre_qc_bytes <= 0.45 * _default_device_budget():
                 capture = QcCapture()
         keep, mean_all, std_all = _qc_snp_range(
-            bed, config, sample_sel, n_qc, 0, bed.n_snps, capture=capture
+            bed, config, sample_sel, n_qc, 0, bed.n_snps,
+            capture=capture, packed=packed,
         )
     qc_orig = np.nonzero(keep)[0]
     log.info("SNP QC: %d / %d SNPs passed.", len(qc_orig), bed.n_snps)

@@ -52,6 +52,29 @@ def genotype_counts(strip: jax.Array) -> tuple:
     return n0, n1, n2, n0 + n1 + n2
 
 
+@partial(jax.jit, static_argnames=("n_samples",))
+def genotype_counts_packed(strip: jax.Array, n_samples: int) -> tuple:
+    """`genotype_counts` over a PLINK 2-bit packed (snps, bytes) strip.
+
+    Codes (count_A1, low bits first): 00 -> dosage 2, 01 -> missing,
+    10 -> 1, 11 -> 0.  Columns beyond `n_samples` (pad fields) are
+    excluded via the sample-index mask; the identical integer counts
+    make packed QC decisions bit-identical to the int8 scan.
+    """
+    c = strip.astype(jnp.int32)
+    n4 = c.shape[1]
+    n0 = jnp.zeros(c.shape[0], jnp.int32)
+    n1 = jnp.zeros(c.shape[0], jnp.int32)
+    n2 = jnp.zeros(c.shape[0], jnp.int32)
+    for p in range(4):
+        cp = (c >> (2 * p)) & 3
+        valid_col = ((4 * jnp.arange(n4) + p) < n_samples)[None, :]
+        n2 += jnp.sum((cp == 0) & valid_col, axis=1, dtype=jnp.int32)
+        n1 += jnp.sum((cp == 2) & valid_col, axis=1, dtype=jnp.int32)
+        n0 += jnp.sum((cp == 3) & valid_col, axis=1, dtype=jnp.int32)
+    return n0, n1, n2, n0 + n1 + n2
+
+
 @dataclasses.dataclass
 class QcResult:
     """Per-strip QC outcome: survivor mask plus standardization moments."""

@@ -52,6 +52,64 @@ def inv_std_of(s: np.ndarray) -> np.ndarray:
     return np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
 
 
+# --- PLINK 2-bit packed layout helpers -------------------------------------
+# Packed mode stores genotypes in PLINK's on-disk 2-bit encoding (uint8,
+# 4 samples/byte, low bits first; count_A1 codes 00->2, 01->missing,
+# 10->1, 11->0): 4x less HBM capacity and read bandwidth, and BED bytes
+# upload verbatim.  See ops/pallas_kernels.py packed section for the
+# plane-major sample permutation the fused kernels impose.
+
+PACKED_MISSING_BYTE = 0x55  # four 01 (missing) fields
+
+
+def pack_int8_rows(geno: np.ndarray) -> np.ndarray:
+    """(D, N) int8 dosages -> (D, ceil(N/4)) PLINK-packed uint8.
+
+    Pad fields (beyond N in the last byte) are 01 = missing (inert)."""
+    d, n = np.asarray(geno).shape
+    n4 = -(-n // 4)
+    lut = np.zeros(256, dtype=np.uint8)
+    lut[2] = 0
+    lut[(-127) & 0xFF] = 1
+    lut[1] = 2
+    lut[0] = 3
+    codes = np.full((d, n4 * 4), 1, dtype=np.uint8)
+    codes[:, :n] = lut[np.ascontiguousarray(geno, dtype=np.int8).view(np.uint8)]
+    c = codes.reshape(d, n4, 4)
+    return (
+        c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
+    ).astype(np.uint8)
+
+
+def sanitize_partial_byte(
+    packed: np.ndarray, n_samples: int
+) -> np.ndarray:
+    """Force trailing 2-bit fields of the last data byte to 01 (missing).
+
+    PLINK zero-fills trailing bits, and code 00 means dosage 2 under
+    count_A1 — NOT inert.  Call on raw BED bytes before device use."""
+    rem = n_samples % 4
+    if rem == 0 or packed.shape[1] == 0:
+        return packed
+    packed = packed.copy()
+    keep = (1 << (2 * rem)) - 1
+    fill = PACKED_MISSING_BYTE & (0xFF ^ keep)
+    packed[:, -1] = (packed[:, -1] & keep) | fill
+    return packed
+
+
+def _unpack_planes_std(gg, m_col, iv_col):
+    """(S, n4) uint8 packed -> (S, 4*n4) f32 standardized, PLANE-MAJOR
+    sample order (XLA fallback analog of the packed Pallas kernels)."""
+    c = gg.astype(jnp.int32)
+    planes = []
+    for p in range(4):
+        cp = (c >> (2 * p)) & 3
+        x = ((4 - cp) >> 1).astype(jnp.float32) * iv_col + (-m_col * iv_col)
+        planes.append(jnp.where(cp != 1, x, 0.0))
+    return jnp.concatenate(planes, axis=1)
+
+
 def _dot(a, b):
     return jnp.dot(
         a, b, preferred_element_type=jnp.float32,
@@ -132,6 +190,41 @@ def _slice_blocks_standardized(
     return jax.vmap(one)(starts, lens)
 
 
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _slice_blocks_standardized_packed(
+    geno: jax.Array,  # (D_pad, N4_pad) uint8 packed
+    mean: jax.Array,
+    inv_std: jax.Array,
+    starts: jax.Array,
+    lens: jax.Array,
+    col_idx,
+    bucket: int,
+) -> jax.Array:
+    """Packed analog of `_slice_blocks_standardized`: unpacks the sliced
+    rows in plain XLA (interleave reshape restores ORIGINAL sample
+    order — the Mosaic lane constraint does not apply outside Pallas)."""
+    d_pad, n4 = geno.shape
+
+    def one(start, d_b):
+        astart = jnp.minimum(start, d_pad - bucket)
+        gp = jax.lax.dynamic_slice_in_dim(geno, astart, bucket, 0)
+        m = jax.lax.dynamic_slice_in_dim(mean, astart, bucket, 0)
+        iv = jax.lax.dynamic_slice_in_dim(inv_std, astart, bucket, 0)
+        c = gp.astype(jnp.int32)
+        cs = jnp.stack(
+            [(c >> (2 * p)) & 3 for p in range(4)], axis=-1
+        ).reshape(bucket, 4 * n4)  # original sample order
+        x = ((4 - cs) >> 1).astype(jnp.float32) * iv + (-m * iv)
+        x = jnp.where(cs != 1, x, 0.0)
+        if col_idx is not None:
+            x = jnp.take(x, col_idx, axis=1)
+        rows = astart + jnp.arange(bucket, dtype=starts.dtype)
+        rmask = (rows >= start) & (rows < start + d_b)
+        return jnp.where(rmask[:, None], x, 0.0)
+
+    return jax.vmap(one)(starts, lens)
+
+
 class ShardedMatrix:
     """Standardized genotype operator sharded over the variant axis.
 
@@ -162,18 +255,29 @@ class ShardedMatrix:
         self.mesh = mesh
         self.mode = mode or _default_mode()
         self.kernel_precision = kernel_precision
-        self.d_pad, self.n_pad = geno.shape
+        # uint8 genotypes signal the PLINK 2-bit packed layout: the
+        # sample axis is 4x the byte axis, and sample-indexed vectors
+        # ride in the kernels' plane-major permutation.
+        self.packed = geno.dtype == jnp.uint8
+        self.d_pad = geno.shape[0]
+        self.n_pad = geno.shape[1] * 4 if self.packed else geno.shape[1]
+        if self.packed:
+            self._perm = pk.plane_major_perm(self.n_pad)
+            self._invp = np.argsort(self._perm)
         if self.mode == "pallas":
             fitted = auto_tile_d(
                 self.n_pad, requested=tile_d, precision=kernel_precision
             )
             if fitted == 0:
-                # Sample axis too wide for a full-row VMEM tile: switch to
-                # the 2-D tiled kernels (both axes blocked, small (D, L)
-                # intermediate in HBM).
-                self.mode = "pallas2d"
+                # Sample axis too wide for a full-row VMEM tile: switch
+                # to the 2-D tiled kernels (both axes blocked, small
+                # (D, L) intermediate in HBM); no packed 2-D variant
+                # exists yet, so packed falls back to the XLA scan.
+                self.mode = "xla" if self.packed else "pallas2d"
             elif fitted != tile_d:
                 tile_d = fitted
+        if self.packed and self.mode.startswith("pallas2d"):
+            raise ValueError("packed layout has no 2-D tiled kernels")
         self.tile_d = tile_d
         self.tile_n = self._pick_tile_n()
         self._build_kernels()
@@ -346,6 +450,52 @@ class ShardedMatrix:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def from_packed_rows(
+        packed_rows: np.ndarray,  # (D, bytes_per_row) uint8 raw PLINK bytes
+        mean: np.ndarray,  # (D,) f32
+        std: np.ndarray,  # (D,) f32
+        n_samples: int,
+        mesh: Optional[Mesh] = None,
+        mode: Optional[str] = None,
+        tile_d: int = 1024,
+        kernel_precision: str = "bf16",
+    ) -> "ShardedMatrix":
+        """Build the packed (2-bit) sharded matrix from raw PLINK bytes.
+
+        The bytes upload VERBATIM (after trailing-bit sanitization) —
+        no host decode, 4x less transfer and HBM than the int8 layout.
+        Row padding is all-missing bytes with inv_std = 0; the sample
+        byte axis pads to a 128-lane multiple with 0x55.
+        """
+        mesh = mesh or make_mesh()
+        n_dev = mesh.devices.size
+        packed_rows = np.asarray(packed_rows, dtype=np.uint8)
+        packed_rows = sanitize_partial_byte(packed_rows, n_samples)
+        d = packed_rows.shape[0]
+        d_pad = _round_up(max(d, 1), tile_d * n_dev)
+        n4_pad = _round_up(max(-(-n_samples // 4), 1), 128)
+        g_pad = np.full((d_pad, n4_pad), PACKED_MISSING_BYTE, dtype=np.uint8)
+        g_pad[:d, : packed_rows.shape[1]] = packed_rows
+        m_pad = np.zeros((d_pad, 1), dtype=np.float32)
+        m_pad[:d, 0] = np.asarray(mean, dtype=np.float32)
+        inv_pad = np.zeros((d_pad, 1), dtype=np.float32)
+        inv_pad[:d, 0] = inv_std_of(np.asarray(std, dtype=np.float32))
+
+        sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
+        return ShardedMatrix(
+            geno=jax.device_put(g_pad, sh),
+            mean=jax.device_put(m_pad, sh),
+            inv_std=jax.device_put(inv_pad, sh),
+            n_rows=d,
+            n_samples=n_samples,
+            mesh=mesh,
+            mode=mode,
+            tile_d=tile_d,
+            kernel_precision=kernel_precision,
+        )
+
+    # ------------------------------------------------------------------
     def _local_ops(self):
         """Local (per-shard) pass implementations for each backend mode."""
         tile_d = self.tile_d
@@ -376,26 +526,37 @@ class ShardedMatrix:
                 )
 
         elif self.mode in ("pallas", "pallas_interpret"):
+            if self.packed:
+                gram_fn, tsq_fn, right_fn = (
+                    pk.fused_gram_apply_packed,
+                    pk.fused_tsq_packed,
+                    pk.fused_right_apply_packed,
+                )
+            else:
+                gram_fn, tsq_fn, right_fn = (
+                    pk.fused_gram_apply, pk.fused_tsq, pk.fused_right_apply
+                )
 
             def local_gram(g, m, iv, b):
-                return pk.fused_gram_apply(
+                return gram_fn(
                     g, m, iv, b, tile_d=tile_d, precision=precision,
                     interpret=interpret,
                 )
 
             def local_tsq(g, m, iv, b):
-                return pk.fused_tsq(
+                return tsq_fn(
                     g, m, iv, b, tile_d=tile_d, precision=precision,
                     interpret=interpret,
                 )
 
             def local_right(g, m, iv, b):
-                return pk.fused_right_apply(
+                return right_fn(
                     g, m, iv, b, tile_d=tile_d, precision=precision,
                     interpret=interpret,
                 )
 
         else:  # "xla": strip-scan fallback, f32 HIGHEST
+            packed = self.packed
 
             def _scan(g, m, iv, b, want: str):
                 d_loc = g.shape[0]
@@ -404,10 +565,20 @@ class ShardedMatrix:
                 m2 = m.reshape(n_strips, tile_d)
                 i2 = iv.reshape(n_strips, tile_d)
 
+                def std(gg, mm, ii):
+                    # Packed strips standardize into the same plane-major
+                    # sample order the Pallas kernels use, so b/outputs
+                    # share one permutation convention across modes.
+                    if packed:
+                        return _unpack_planes_std(
+                            gg, mm[:, None], ii[:, None]
+                        )
+                    return _standardize(gg, mm, ii)
+
                 if want == "right":
                     def body(_, xs):
                         gg, mm, ii = xs
-                        return None, _dot(_standardize(gg, mm, ii), b)
+                        return None, _dot(std(gg, mm, ii), b)
 
                     _, out = jax.lax.scan(body, None, (g3, m2, i2))
                     return out.reshape(d_loc, b.shape[1])
@@ -419,7 +590,7 @@ class ShardedMatrix:
 
                 def body(acc, xs):
                     gg, mm, ii = xs
-                    a = _standardize(gg, mm, ii)
+                    a = std(gg, mm, ii)
                     w = _dot(a, b)
                     if want == "gram":
                         return acc + _dot(a.T, w), None
@@ -471,12 +642,30 @@ class ShardedMatrix:
         n_samples = self.n_samples
         n_pad = self.n_pad
         pallas = self.mode.startswith("pallas")
+        packed = self.packed
+        if packed:
+            # Trace-time constants: the kernels' plane-major sample
+            # permutation and its inverse (ops/pallas_kernels.py).
+            perm_np = self._perm
+            invp_np = self._invp
+            # 1.0 at permuted positions holding a REAL sample (defensive
+            # zeroing of padding rows inside the power loop).
+            pmask_np = (perm_np < n_samples).astype(np.float32)[:, None]
 
         def pad_b(b):
             n, ell = b.shape
             ell_pad = _round_up(ell, 128) if pallas else ell
             out = jnp.zeros((n_pad, ell_pad), dtype=jnp.float32)
-            return out.at[:n, :ell].set(b)
+            out = out.at[:n, :ell].set(b)
+            if packed:
+                out = jnp.take(out, jnp.asarray(perm_np), axis=0)
+            return out
+
+        def unperm(t):
+            """Permuted sample rows -> original order (packed only)."""
+            if packed:
+                return jnp.take(t, jnp.asarray(invp_np), axis=0)
+            return t
 
         # Fully-jitted wrappers: padding, the sharded pass, and the
         # un-padding slice form ONE executable each — a single device
@@ -484,7 +673,7 @@ class ShardedMatrix:
         @jax.jit
         def gram_k(g, m, iv, b):
             ell = b.shape[1]
-            return gram_sm(g, m, iv, pad_b(b))[:n_samples, :ell]
+            return unperm(gram_sm(g, m, iv, pad_b(b)))[:n_samples, :ell]
 
         @jax.jit
         def tsq_k(g, m, iv, b):
@@ -529,13 +718,16 @@ class ShardedMatrix:
 
             def body(_, cur):
                 t = gram_sm(g, m, iv, cur)
-                t = t.at[n_samples:, :].set(0.0)
+                if packed:
+                    t = t * jnp.asarray(pmask_np)
+                else:
+                    t = t.at[n_samples:, :].set(0.0)
                 return cholqr2(t)
 
             out = jax.lax.fori_loop(0, n_iter, body, bp)
             # One exact Householder QR to finish.
             q, _ = jnp.linalg.qr(out)
-            return q[:n_samples, : b.shape[1]]
+            return unperm(q)[:n_samples, : b.shape[1]]
 
         # The ENTIRE randomized PCA as one XLA program: power iterations,
         # condensed eigensolve, scores, and (variant-sharded) loadings.
@@ -548,7 +740,10 @@ class ShardedMatrix:
 
             def body(_, cur):
                 t = gram_sm(g, m, iv, cur)
-                t = t.at[n_samples:, :].set(0.0)
+                if packed:
+                    t = t * jnp.asarray(pmask_np)
+                else:
+                    t = t.at[n_samples:, :].set(0.0)
                 return cholqr2(t)
 
             out = jax.lax.fori_loop(0, n_iter, body, bp)
@@ -572,7 +767,9 @@ class ShardedMatrix:
                 sigma[:k] > 0, sigma[:k], 1.0), 0.0)
             loadings = c * inv_sigma[None, :]
             return (
-                v_k[:n_samples],  # right singular vectors (N, k)
+                # right singular vectors (N, k); v_full rides in permuted
+                # sample order on the packed path (q never left it)
+                unperm(v_full)[:n_samples, :k],
                 sigma[:k],
                 evals[:k],
                 loadings,  # (d_pad, k), caller slices rows
@@ -602,7 +799,12 @@ class ShardedMatrix:
         bucket = min(bucket, self.d_pad)
         if int(np.max(lens)) > bucket:
             raise ValueError(f"block longer than bucket: {np.max(lens)} > {bucket}")
-        return _slice_blocks_standardized(
+        slicer = (
+            _slice_blocks_standardized_packed
+            if self.packed
+            else _slice_blocks_standardized
+        )
+        return slicer(
             self.geno,
             self.mean,
             self.inv_std,
@@ -616,6 +818,27 @@ class ShardedMatrix:
         """Number of missing genotypes among real rows/columns (one
         scalar download; supports the strict `missing_policy="error"`
         accessor semantics on the device path)."""
+
+        if self.packed:
+            n4 = self.geno.shape[1]
+            n_samples = self.n_samples
+            n_rows = self.n_rows
+
+            @jax.jit
+            def count_packed(g):
+                c = g[:n_rows].astype(jnp.int32)
+                miss = jnp.zeros((), jnp.int64)
+                for p in range(4):
+                    cp = (c >> (2 * p)) & 3
+                    # sample index of plane p, byte j is 4j + p
+                    sample = 4 * jnp.arange(n4) + p
+                    valid_col = (sample < n_samples)[None, :]
+                    miss += jnp.sum(
+                        (cp == 1) & valid_col, dtype=jnp.int64
+                    )
+                return miss
+
+            return int(np.asarray(count_packed(self.geno)))
 
         @jax.jit
         def count(g):
