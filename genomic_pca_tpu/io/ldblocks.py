@@ -81,25 +81,16 @@ def parse_ld_block_file(path: str) -> List[Tuple[str, int, int, str]]:
     return blocks
 
 
-def map_snps_to_blocks(
+def assign_first_containing_block(
     snp_chroms: Sequence[str],
     snp_positions: Sequence[int],
-    snp_original_indices: Sequence[int],
     parsed_blocks: List[Tuple[str, int, int, str]],
-) -> Tuple[List[LdBlockSpec], np.ndarray]:
-    """Map QC'd SNPs to LD blocks; returns (blocks, pca_snp_original_indices).
-
-    The returned original-index array defines the dense PcaSnpId space
-    (position i <-> PcaSnpId i); blocks reference that space and come
-    sorted by tag.  SNPs contained in no block are excluded from PCA.
-    """
-    # Vectorized first-containing-block assignment: per chromosome, walk
-    # blocks in FILE order and claim still-unassigned SNPs whose position
-    # falls inside — numpy masks instead of a per-SNP Python scan (the
-    # scan is O(SNPs x blocks) in the interpreter; genome-scale inputs
-    # made it a multi-second hot spot).  Semantics are identical.
+) -> np.ndarray:
+    """Per-SNP index of the FIRST (file-order) block containing it, -1 if
+    none — the reference's assignment rule (prepare.rs:1447-1463),
+    vectorized: per chromosome, walk blocks in file order and claim
+    still-unassigned SNPs whose position falls inside (inclusive)."""
     positions = np.asarray(snp_positions, dtype=np.int64)
-    orig_arr = np.asarray(snp_original_indices, dtype=np.int64)
     norm_chroms = np.array(
         [normalize_chromosome_name(str(c)) for c in snp_chroms], dtype=object
     )
@@ -117,6 +108,73 @@ def map_snps_to_blocks(
         pos = positions[idx]
         hit = (assignment[idx] < 0) & (pos >= start) & (pos <= end)
         assignment[idx[hit]] = b_idx
+    return assignment
+
+
+def block_aligned_ranges(
+    snp_chroms: Sequence[str],
+    snp_positions: Sequence[int],
+    parsed_blocks: List[Tuple[str, int, int, str]],
+    n_parts: int,
+) -> List[Tuple[int, int]]:
+    """Split BIM rows [0, n) into n_parts contiguous scan ranges whose
+    boundaries never bisect an LD block.
+
+    Used by the distributed QC scan so each process's QC survivors form
+    a contiguous PcaSnpId run whose LD blocks are wholly process-local —
+    LD-block locality as the shard-boundary heuristic (SURVEY §2.3).  A
+    split at row s is valid when rows s-1 and s are not in the same
+    block; each even-split target moves to the nearest valid row.  Falls
+    back to plain even splits if a degenerate block file leaves no valid
+    boundary (callers must tolerate blocks spanning ranges).
+    """
+    n = len(snp_positions)
+    if n_parts <= 1 or n == 0:
+        return [(0, n)] + [(n, n)] * (n_parts - 1)
+    assignment = assign_first_containing_block(
+        snp_chroms, snp_positions, parsed_blocks
+    )
+    # valid[s] for s in 1..n-1: rows s-1, s not in one block.
+    same = (assignment[:-1] == assignment[1:]) & (assignment[:-1] >= 0)
+    valid = np.nonzero(~same)[0] + 1  # ascending split candidates
+    cuts = [0]
+    for p in range(1, n_parts):
+        target = (p * n) // n_parts
+        if len(valid) == 0:
+            cuts.append(target)
+            continue
+        pos = np.searchsorted(valid, target)
+        cands = [
+            c
+            for c in (
+                valid[pos - 1] if pos > 0 else None,
+                valid[pos] if pos < len(valid) else None,
+            )
+            if c is not None
+        ]
+        best = min(cands, key=lambda c: abs(int(c) - target))
+        cuts.append(max(int(best), cuts[-1]))
+    cuts.append(n)
+    return [(cuts[i], max(cuts[i + 1], cuts[i])) for i in range(n_parts)]
+
+
+def map_snps_to_blocks(
+    snp_chroms: Sequence[str],
+    snp_positions: Sequence[int],
+    snp_original_indices: Sequence[int],
+    parsed_blocks: List[Tuple[str, int, int, str]],
+) -> Tuple[List[LdBlockSpec], np.ndarray]:
+    """Map QC'd SNPs to LD blocks; returns (blocks, pca_snp_original_indices).
+
+    The returned original-index array defines the dense PcaSnpId space
+    (position i <-> PcaSnpId i); blocks reference that space and come
+    sorted by tag.  SNPs contained in no block are excluded from PCA.
+    """
+    orig_arr = np.asarray(snp_original_indices, dtype=np.int64)
+    n = len(orig_arr)
+    assignment = assign_first_containing_block(
+        snp_chroms, snp_positions, parsed_blocks
+    )
 
     masked_idx = np.nonzero(assignment >= 0)[0]
     if len(masked_idx) == 0:

@@ -323,6 +323,16 @@ def compute_eigensnp_pca(
     a = prep.load_matrix(strip_size=strip_size)
     runs = _blocks_as_runs(prep.blocks)
     use_device = runs is not None and hasattr(a, "fetch_blocks_device")
+    if use_device and getattr(a, "row_segments", None) is not None:
+        # Segmented (multi-process fused) layout: device slicing needs
+        # every block inside one segment; block-aligned scan ranges
+        # guarantee this except for degenerate block files.
+        if not a.runs_device_sliceable(runs):
+            log.warning(
+                "LD blocks cross row segments; using the host accessor "
+                "path for stages 1-2."
+            )
+            use_device = False
     if use_device and prep.config.missing_policy == "error":
         n_miss = a.count_missing()
         if n_miss:

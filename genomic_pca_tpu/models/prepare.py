@@ -107,6 +107,10 @@ class PreparedData:
     n_snps_pre_qc: int
     n_snps_post_qc: int
     qc_capture: Optional[QcCapture] = None
+    # Distributed-QC scan ranges [(lo, hi)] per process (BIM rows); set
+    # when the scan was sharded so the fused assembly can align matrix
+    # row segments with scan ownership.
+    scan_ranges: Optional[List[tuple]] = None
 
     @property
     def n_samples(self) -> int:
@@ -316,6 +320,166 @@ class PreparedData:
             )
         return sm
 
+    def _matrix_from_capture_multiproc(self, mesh):
+        """Multi-process fused assembly from the distributed QC scan.
+
+        Each process gathers its OWN scan range's QC survivors from the
+        device batches it already uploaded — genotypes never cross
+        processes; only the (tiny) keep-masks/moments did, in the QC
+        allgather.  The global matrix uses a SEGMENTED row layout: the
+        survivors of process p occupy rows [p*rows_pp, p*rows_pp +
+        count_p) with inert padding (inv_std 0) up to the uniform
+        per-process segment size, and `ShardedMatrix.row_segments` maps
+        segments back to PcaSnpId order for loadings/missing-count.
+        Scan ranges were LD-block aligned (block_aligned_ranges), so
+        every LD block stays inside one segment and device block
+        slicing works unchanged.
+
+        Returns None when the mesh is not in the canonical layout
+        (equal contiguous device runs in process order) — the caller
+        falls back to the re-read path.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
+        from genomic_pca_tpu.parallel.sharded import (
+            PACKED_MISSING_BYTE, ShardedMatrix, inv_std_of,
+        )
+
+        mesh = mesh or make_mesh()
+        n_proc = jax.process_count()
+        proc = jax.process_index()
+        flat = list(mesh.devices.flat)
+        n_dev = len(flat)
+        devs_pp = n_dev // n_proc
+        local_dev_idx = [
+            i for i, d in enumerate(flat) if d.process_index == proc
+        ]
+        # Canonical layout check must be GLOBAL (every process validates
+        # every run) so all processes take the same branch — the
+        # assembly below is collective.
+        canonical = n_dev == devs_pp * n_proc and all(
+            [i for i, d in enumerate(flat) if d.process_index == q]
+            == list(range(q * devs_pp, (q + 1) * devs_pp))
+            for q in range(n_proc)
+        )
+        if not canonical or self.scan_ranges is None:
+            return None
+
+        ranges = self.scan_ranges
+        pca = self.pca_snp_orig_indices
+        bounds = np.searchsorted(
+            pca, [lo for lo, _hi in ranges] + [ranges[-1][1]]
+        )
+        counts = np.diff(bounds)  # per-process survivor counts
+
+        tile_d = 1024
+        gran = tile_d * devs_pp
+        rows_pp = max(gran, -(-int(counts.max()) // gran) * gran)
+        d_pad = rows_pp * n_proc
+
+        cap = self.qc_capture
+        packed = cap.packed
+        pad_value = PACKED_MISSING_BYTE if packed else MISSING
+        n_qc = self.n_samples
+        if packed:
+            cols = -(-max(-(-n_qc // 4), 1) // 128) * 128
+        else:
+            cols = -(-n_qc // 128) * 128
+
+        lo, _hi = ranges[proc]
+        mine = pca[bounds[proc] : bounds[proc + 1]] - lo
+        batch_of = mine // max(cap.batch_rows, 1)
+        within = (mine % max(cap.batch_rows, 1)).astype(np.int32)
+        sels = [within[batch_of == b] for b in range(len(cap.batches))]
+
+        @jax.jit
+        def assemble(*gs):
+            parts = [
+                jnp.take(g, jnp.asarray(sel), axis=0)
+                for g, sel in zip(gs, sels)
+                if sel.size
+            ]
+            if parts:
+                x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+                return jnp.pad(
+                    x,
+                    (
+                        (0, rows_pp - x.shape[0]),
+                        # Packed batches were column-padded by the scan.
+                        (0, 0 if packed else cols - x.shape[1]),
+                    ),
+                    constant_values=pad_value,
+                )
+            return jnp.full(
+                (rows_pp, cols),
+                pad_value,
+                dtype=jnp.uint8 if packed else jnp.int8,
+            )
+
+        seg_local = assemble(*cap.batches)  # (rows_pp, cols), default dev
+        self.qc_capture = None  # release the pre-QC batches
+
+        # Distribute the local segment over this process's devices and
+        # stitch the global sharded array from per-device pieces.
+        per_dev = rows_pp // devs_pp
+        sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
+        pieces = [
+            jax.device_put(
+                seg_local[j * per_dev : (j + 1) * per_dev], flat[di]
+            )
+            for j, di in enumerate(local_dev_idx)
+        ]
+        geno = jax.make_array_from_single_device_arrays(
+            (d_pad, int(seg_local.shape[1])), sh, pieces
+        )
+
+        d = len(pca)
+        mean_seg = np.zeros((d_pad, 1), dtype=np.float32)
+        inv_seg = np.zeros((d_pad, 1), dtype=np.float32)
+        inv_all = inv_std_of(self.std)
+        for p in range(n_proc):
+            c0, c1 = int(bounds[p]), int(bounds[p + 1])
+            mean_seg[p * rows_pp : p * rows_pp + (c1 - c0), 0] = self.mean[c0:c1]
+            inv_seg[p * rows_pp : p * rows_pp + (c1 - c0), 0] = inv_all[c0:c1]
+        mean_g = jax.make_array_from_process_local_data(
+            sh, mean_seg[proc * rows_pp : (proc + 1) * rows_pp], (d_pad, 1)
+        )
+        inv_g = jax.make_array_from_process_local_data(
+            sh, inv_seg[proc * rows_pp : (proc + 1) * rows_pp], (d_pad, 1)
+        )
+
+        segments = np.stack(
+            [
+                np.arange(n_proc, dtype=np.int64) * rows_pp,
+                bounds[:-1].astype(np.int64),
+                counts.astype(np.int64),
+            ],
+            axis=1,
+        )
+        log.info(
+            "Multi-process fused assembly: %d survivors in %d segments "
+            "of %d rows (no BED re-read / re-upload).",
+            d, n_proc, rows_pp,
+        )
+        sm = ShardedMatrix(
+            geno=geno,
+            mean=mean_g,
+            inv_std=inv_g,
+            n_rows=d,
+            n_samples=self.n_samples,
+            mesh=mesh,
+            tile_d=tile_d,
+            row_segments=segments,
+        )
+        if self.config.missing_policy == "error" and sm.count_missing():
+            raise DataPrepError(
+                "Missing genotypes present post-QC with "
+                "missing_policy='error' (reference accessor semantics, "
+                "prepare.rs:1906-1911)."
+            )
+        return sm
+
     def load_matrix(self, strip_size: int = 2048, mesh=None):
         """Materialize A as the production variant-sharded container
         (Pallas kernels on TPU, shard_map + psum across the mesh).
@@ -352,6 +516,11 @@ class PreparedData:
             return self.load_streaming_matrix(strip_size=strip_size)
 
         if jax.process_count() > 1:
+            if self.qc_capture is not None and self.n_pca_snps > 0:
+                sm = self._matrix_from_capture_multiproc(mesh)
+                if sm is not None:
+                    return sm
+            self.qc_capture = None  # non-canonical mesh: release batches
 
             def read_rows(lo: int, hi: int):
                 orig = self.pca_snp_orig_indices[lo:hi]
@@ -565,30 +734,38 @@ def _allgather_qc(
     keep: np.ndarray,
     mean: np.ndarray,
     std: np.ndarray,
-    range_size: int,
-    n_snps: int,
+    ranges: List[tuple],
 ):
-    """Merge per-process QC results for contiguous equal ranges.
+    """Merge per-process QC results for contiguous (possibly unequal)
+    scan ranges.
 
-    Each process owns global rows [p*range_size, min((p+1)*range_size,
-    n_snps)); locals are padded to range_size (keep=False) so the tiled
-    allgather concatenates fixed shapes in process order, then trimmed
-    back to n_snps.  This is the multi-host replacement for the
-    reference's single-host QC scan (SURVEY §5 long-axis mapping).
+    Process p owns global rows [ranges[p][0], ranges[p][1]); locals are
+    padded to the largest range (keep=False) so the tiled allgather
+    concatenates fixed shapes in process order, then each process's
+    actual rows are re-assembled in BIM order.  This is the multi-host
+    replacement for the reference's single-host QC scan (SURVEY §5
+    long-axis mapping).  Ranges may be unequal because the distributed
+    scan aligns boundaries to LD blocks (io/ldblocks.py
+    block_aligned_ranges).
     """
     from jax.experimental import multihost_utils
 
-    pad = range_size - len(keep)
+    max_len = max(hi - lo for lo, hi in ranges)
+    pad = max_len - len(keep)
     local = {
         "keep": np.pad(keep, (0, pad)).astype(np.bool_),
         "mean": np.pad(mean, (0, pad)).astype(np.float64),
         "std": np.pad(std, (0, pad)).astype(np.float64),
     }
     gathered = multihost_utils.process_allgather(local, tiled=True)
+    pieces = {k: [] for k in local}
+    for p, (lo, hi) in enumerate(ranges):
+        for k in pieces:
+            pieces[k].append(np.asarray(gathered[k])[p * max_len : p * max_len + (hi - lo)])
     return (
-        np.asarray(gathered["keep"])[:n_snps],
-        np.asarray(gathered["mean"])[:n_snps],
-        np.asarray(gathered["std"])[:n_snps],
+        np.concatenate(pieces["keep"]),
+        np.concatenate(pieces["mean"]),
+        np.concatenate(pieces["std"]),
     )
 
 
@@ -614,19 +791,43 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
     packed = bool(config.packed_pipeline) and sample_sel is None
     n_proc = jax.process_count()
     capture: Optional[QcCapture] = None
+    scan_ranges: Optional[List[tuple]] = None
+    # Parsed up front (the reference parses after QC, main.rs ordering):
+    # the distributed scan aligns its range boundaries to LD blocks so
+    # every block stays wholly inside one process's range — making the
+    # fused QC->matrix assembly (and device block slicing) process-local.
+    parsed_blocks = parse_ld_block_file(config.ld_block_path)
     if n_proc > 1 and config.distributed_qc:
-        range_size = -(-bed.n_snps // n_proc)
-        lo = min(jax.process_index() * range_size, bed.n_snps)
-        hi = min(lo + range_size, bed.n_snps)
+        from genomic_pca_tpu.io.ldblocks import block_aligned_ranges
+
+        scan_ranges = block_aligned_ranges(
+            bed.bim.chrom, bed.bim.bp, parsed_blocks, n_proc
+        )
+        lo, hi = scan_ranges[jax.process_index()]
         log.info(
             "Distributed SNP QC: process %d/%d scans rows [%d, %d).",
             jax.process_index(), n_proc, lo, hi,
         )
+        # Fused capture engages only when EVERY process's pre-QC range
+        # fits its capture budget — the decision must be deterministic
+        # and identical across processes (the global-array assembly in
+        # load_matrix is collective).
+        if config.fuse_qc_matrix:
+            max_rows = max(h - l for l, h in scan_ranges)
+            if packed:
+                n4_pad = -(-max(-(-n_qc // 4), 1) // 128) * 128
+                pre_qc_bytes = max_rows * n4_pad
+            else:
+                n_pad = -(-n_qc // 128) * 128
+                pre_qc_bytes = max_rows * n_pad
+            if pre_qc_bytes <= 0.45 * _default_device_budget():
+                capture = QcCapture()
         keep_l, mean_l, std_l = _qc_snp_range(
-            bed, config, sample_sel, n_qc, lo, hi, packed=packed
+            bed, config, sample_sel, n_qc, lo, hi,
+            capture=capture, packed=packed,
         )
         keep, mean_all, std_all = _allgather_qc(
-            keep_l, mean_l, std_l, range_size, bed.n_snps
+            keep_l, mean_l, std_l, scan_ranges
         )
     else:
         # QC->matrix fusion: retain the scan's device uploads when the
@@ -651,7 +852,6 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
     qc_orig = np.nonzero(keep)[0]
     log.info("SNP QC: %d / %d SNPs passed.", len(qc_orig), bed.n_snps)
 
-    parsed_blocks = parse_ld_block_file(config.ld_block_path)
     blocks, pca_orig = map_snps_to_blocks(
         bed.bim.chrom[qc_orig],
         bed.bim.bp[qc_orig],
@@ -676,5 +876,11 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         blocks=blocks,
         n_snps_pre_qc=bed.n_snps,
         n_snps_post_qc=len(qc_orig),
-        qc_capture=capture if (capture and capture.batches) else None,
+        # Multi-process: the capture decision was made globally, so keep
+        # it even when THIS process's range captured no batches (an
+        # empty-range process must still join the collective assembly).
+        qc_capture=capture
+        if (capture and (capture.batches or n_proc > 1))
+        else None,
+        scan_ranges=scan_ranges,
     )

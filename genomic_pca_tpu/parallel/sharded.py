@@ -246,6 +246,7 @@ class ShardedMatrix:
         mode: Optional[str] = None,
         tile_d: int = 1024,
         kernel_precision: str = "bf16",
+        row_segments: Optional[np.ndarray] = None,
     ):
         self.geno = geno
         self.mean = mean
@@ -253,6 +254,16 @@ class ShardedMatrix:
         self.n_rows = n_rows
         self.n_samples = n_samples
         self.mesh = mesh
+        # Segmented row layout (multi-process fused assembly): (S, 3)
+        # rows of (matrix_row_start, pca_row_start, count) — real rows
+        # live in per-process segments with inert padding between them
+        # instead of one prefix run.  None = prefix layout (rows
+        # [0, n_rows) are the real rows, padding at the end).
+        if row_segments is not None:
+            row_segments = np.asarray(row_segments, dtype=np.int64)
+            assert row_segments.ndim == 2 and row_segments.shape[1] == 3
+            assert int(row_segments[:, 2].sum()) == n_rows
+        self.row_segments = row_segments
         self.mode = mode or _default_mode()
         self.kernel_precision = kernel_precision
         # uint8 genotypes signal the PLINK 2-bit packed layout: the
@@ -781,6 +792,57 @@ class ShardedMatrix:
         self._power_k = power_k
         self._pca_core_k = pca_core_k
 
+    # ---- segmented row layout helpers ---------------------------------
+    def translate_row_runs(
+        self, starts: np.ndarray, lens: np.ndarray
+    ) -> np.ndarray:
+        """PcaSnpId run starts -> matrix-row starts under the segmented
+        layout.  Raises if any run crosses a segment boundary (callers
+        gate on `runs_device_sliceable` first)."""
+        starts = np.asarray(starts, dtype=np.int64)
+        if self.row_segments is None:
+            return starts
+        seg = self.row_segments
+        # Segment of each run: last segment with pca_start <= start.
+        si = np.searchsorted(seg[:, 1], starts, side="right") - 1
+        si = np.clip(si, 0, len(seg) - 1)
+        ends = np.asarray(lens, dtype=np.int64) + starts
+        inside = (starts >= seg[si, 1]) & (ends <= seg[si, 1] + seg[si, 2])
+        # Zero-length padding runs (batch fill) translate to row 0.
+        inside |= np.asarray(lens, dtype=np.int64) == 0
+        if not bool(inside.all()):
+            raise ValueError(
+                "block run crosses a row-segment boundary; use the host "
+                "accessor path for this block file"
+            )
+        out = seg[si, 0] + (starts - seg[si, 1])
+        return np.where(np.asarray(lens, dtype=np.int64) == 0, 0, out)
+
+    def runs_device_sliceable(self, runs: np.ndarray) -> bool:
+        """True when every (start, len) run stays inside one row
+        segment, i.e. `fetch_blocks_device` can slice it contiguously."""
+        try:
+            self.translate_row_runs(runs[:, 0], runs[:, 1])
+            return True
+        except ValueError:
+            return False
+
+    def _trim_rows(self, arr: np.ndarray) -> np.ndarray:
+        """(d_pad, ...) host array -> (n_rows, ...) real rows in
+        PcaSnpId order (drops inter-segment and tail padding)."""
+        if self.row_segments is None:
+            return arr[: self.n_rows]
+        out = np.empty((self.n_rows,) + arr.shape[1:], dtype=arr.dtype)
+        for mstart, pstart, cnt in self.row_segments:
+            out[pstart : pstart + cnt] = arr[mstart : mstart + cnt]
+        return out
+
+    @property
+    def _segments_or_default(self) -> np.ndarray:
+        if self.row_segments is None:
+            return np.array([[0, 0, self.n_rows]], dtype=np.int64)
+        return self.row_segments
+
     # ---- device-resident block access ---------------------------------
     def fetch_blocks_device(
         self,
@@ -795,6 +857,8 @@ class ShardedMatrix:
         The device analog of the host accessor's
         `fetch_block_standardized` for blocks that are contiguous
         PcaSnpId runs; rows beyond each block's length are zero.
+        `starts` are PcaSnpId positions; the segmented layout translates
+        them to matrix rows (`translate_row_runs`).
         """
         bucket = min(bucket, self.d_pad)
         if int(np.max(lens)) > bucket:
@@ -808,7 +872,7 @@ class ShardedMatrix:
             self.geno,
             self.mean,
             self.inv_std,
-            jnp.asarray(np.asarray(starts), dtype=jnp.int32),
+            jnp.asarray(self.translate_row_runs(starts, lens), dtype=jnp.int32),
             jnp.asarray(np.asarray(lens), dtype=jnp.int32),
             col_idx,
             bucket,
@@ -819,31 +883,38 @@ class ShardedMatrix:
         scalar download; supports the strict `missing_policy="error"`
         accessor semantics on the device path)."""
 
+        segments = tuple(
+            (int(m), int(c)) for m, _p, c in self._segments_or_default
+        )
+
         if self.packed:
             n4 = self.geno.shape[1]
             n_samples = self.n_samples
-            n_rows = self.n_rows
 
             @jax.jit
             def count_packed(g):
-                c = g[:n_rows].astype(jnp.int32)
                 miss = jnp.zeros((), jnp.int64)
-                for p in range(4):
-                    cp = (c >> (2 * p)) & 3
-                    # sample index of plane p, byte j is 4j + p
-                    sample = 4 * jnp.arange(n4) + p
-                    valid_col = (sample < n_samples)[None, :]
-                    miss += jnp.sum(
-                        (cp == 1) & valid_col, dtype=jnp.int64
-                    )
+                for mstart, cnt in segments:
+                    c = g[mstart : mstart + cnt].astype(jnp.int32)
+                    for p in range(4):
+                        cp = (c >> (2 * p)) & 3
+                        # sample index of plane p, byte j is 4j + p
+                        sample = 4 * jnp.arange(n4) + p
+                        valid_col = (sample < n_samples)[None, :]
+                        miss += jnp.sum(
+                            (cp == 1) & valid_col, dtype=jnp.int64
+                        )
                 return miss
 
             return int(np.asarray(count_packed(self.geno)))
 
         @jax.jit
         def count(g):
-            real = g[: self.n_rows, : self.n_samples]
-            return jnp.sum(real == MISSING, dtype=jnp.int64)
+            miss = jnp.zeros((), jnp.int64)
+            for mstart, cnt in segments:
+                real = g[mstart : mstart + cnt, : self.n_samples]
+                miss += jnp.sum(real == MISSING, dtype=jnp.int64)
+            return miss
 
         return int(np.asarray(count(self.geno)))
 
@@ -880,7 +951,7 @@ class ShardedMatrix:
     def right_apply(self, b: jax.Array) -> np.ndarray:
         """A B on host with padding removed: (n_rows, l)."""
         out = self._right_k(self.geno, self.mean, self.inv_std, b)
-        return self._rows_to_host(out)[: self.n_rows]
+        return self._trim_rows(self._rows_to_host(out))
 
     def power_iterate(self, b0: jax.Array, n_iter: int) -> jax.Array:
         """n_iter x (B <- qr(A^T A B)) entirely on device: (n_samples, l)
@@ -897,4 +968,4 @@ class ShardedMatrix:
         v, sigma, evals, loadings = self._pca_core_k(
             self.geno, self.mean, self.inv_std, b0, n_iter, k
         )
-        return v, sigma, evals, self._rows_to_host(loadings)[: self.n_rows]
+        return v, sigma, evals, self._trim_rows(self._rows_to_host(loadings))

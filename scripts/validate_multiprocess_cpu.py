@@ -52,6 +52,7 @@ import numpy as np
 from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
 from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
 from genomic_pca_tpu.models.prepare import prepare_data
+from genomic_pca_tpu.parallel import sharded as _sharded
 
 cfg = DataPrepConfig(
     bed_path=f"{workdir}/mh", ld_block_path=f"{workdir}/blocks.tsv",
@@ -59,6 +60,18 @@ cfg = DataPrepConfig(
     snp_chunk_size=64, qc_device_batch=128, distributed_qc=True,
 )
 prep = prepare_data(cfg)
+
+# The fused multi-process assembly must engage: the QC scan captured
+# this process's device batches, and matrix load must NOT fall back to
+# the BED re-read path (from_local_rows).
+assert prep.qc_capture is not None, "QC capture did not engage"
+assert prep.scan_ranges is not None and len(prep.scan_ranges) == nproc
+
+def _no_reread(*a, **kw):
+    raise AssertionError("fused path fell back to from_local_rows")
+
+_sharded.ShardedMatrix.from_local_rows = staticmethod(_no_reread)
+
 ecfg = EigenSnpConfig(
     k_global=4, components_per_block=3, min_subset_size=48,
     max_subset_size=48, subset_factor=0.6, seed=7,

@@ -65,9 +65,9 @@ def test_allgather_merge_single_process(bed_and_cfg):
     bed, cfg = bed_and_cfg
     n = bed.n_snps
     keep, mean, std = _qc_snp_range(bed, cfg, None, bed.n_samples, 0, n)
-    # Simulate a process owning a range larger than its data (tail pad).
-    range_size = n + 37
-    k2, m2, s2 = _allgather_qc(keep, mean, std, range_size, n)
+    # Single-process ranges list; the local pads to the largest range
+    # (here its own) and round-trips unchanged.
+    k2, m2, s2 = _allgather_qc(keep, mean, std, [(0, n)])
     np.testing.assert_array_equal(k2, keep)
     np.testing.assert_array_equal(m2, mean)
     np.testing.assert_array_equal(s2, std)
