@@ -279,6 +279,80 @@ class BedReader:
         del self._mmap
 
 
+def pack_bed_rows(geno: np.ndarray, count_a1: bool = True) -> np.ndarray:
+    """(n_snps, n_samples) int8 dosages -> (n_snps, ceil(n/4)) uint8
+    PLINK 2-bit rows (variant-major .bed payload)."""
+    geno = np.asarray(geno, dtype=np.int8)
+    n_snps, n_samples = geno.shape
+    if count_a1:
+        # dosage counts A1: 2 -> 00, 1 -> 10, 0 -> 11, missing -> 01
+        code_of = {2: 0b00, -127: 0b01, 1: 0b10, 0: 0b11}
+    else:
+        code_of = {0: 0b00, -127: 0b01, 1: 0b10, 2: 0b11}
+    code_map = np.zeros(256, dtype=np.uint8)
+    for dosage, code in code_of.items():
+        code_map[np.uint8(np.int8(dosage))] = code
+    codes = code_map[geno.view(np.uint8)]
+
+    bps = (n_samples + 3) // 4
+    padded = np.zeros((n_snps, bps * 4), dtype=np.uint8)
+    padded[:, :n_samples] = codes
+    return (
+        padded[:, 0::4]
+        | (padded[:, 1::4] << 2)
+        | (padded[:, 2::4] << 4)
+        | (padded[:, 3::4] << 6)
+    ).astype(np.uint8)
+
+
+def write_plink_stream(
+    prefix: Union[str, Path],
+    strips,  # iterator of (n_strip, n_samples) int8 dosage blocks
+    n_samples: int,
+    chrom: Optional[Sequence[str]] = None,
+    bp: Optional[Sequence[int]] = None,
+    count_a1: bool = True,
+) -> int:
+    """Streaming variant of `write_plink` for datasets too large to
+    materialize (genome-scale synthetic fixtures): packs and appends one
+    strip at a time, then writes BIM/FAM in buffered chunks.  Returns
+    the number of SNPs written."""
+    prefix = str(prefix)
+    n_snps = 0
+    with open(prefix + ".bed", "wb") as fh:
+        fh.write(_MAGIC)
+        for strip in strips:
+            strip = np.asarray(strip, dtype=np.int8)
+            assert strip.shape[1] == n_samples
+            fh.write(pack_bed_rows(strip, count_a1=count_a1).tobytes())
+            n_snps += strip.shape[0]
+
+    bp_arr = (
+        np.arange(1, n_snps + 1, dtype=np.int64)
+        if bp is None
+        else np.asarray(bp, dtype=np.int64)
+    )
+    with open(prefix + ".bim", "w") as fh:
+        chunk = 1_000_000
+        for lo in range(0, n_snps, chunk):
+            hi = min(lo + chunk, n_snps)
+            lines = [
+                f"{chrom[i] if chrom is not None else '1'}\tsnp{i}\t0\t"
+                f"{bp_arr[i]}\tA\tC"
+                for i in range(lo, hi)
+            ]
+            fh.write("\n".join(lines) + "\n")
+
+    with open(prefix + ".fam", "w") as fh:
+        fh.write(
+            "\n".join(
+                f"sample{i}\tsample{i}\t0\t0\t0\t-9" for i in range(n_samples)
+            )
+            + "\n"
+        )
+    return n_snps
+
+
 def write_plink(
     prefix: Union[str, Path],
     genotypes: np.ndarray,
@@ -297,25 +371,7 @@ def write_plink(
     prefix = str(prefix)
     geno = np.asarray(genotypes, dtype=np.int8)
     n_snps, n_samples = geno.shape
-    if count_a1:
-        # dosage counts A1: 2 -> 00, 1 -> 10, 0 -> 11, missing -> 01
-        code_of = {2: 0b00, -127: 0b01, 1: 0b10, 0: 0b11}
-    else:
-        code_of = {0: 0b00, -127: 0b01, 1: 0b10, 2: 0b11}
-    code_map = np.zeros(256, dtype=np.uint8)
-    for dosage, code in code_of.items():
-        code_map[np.uint8(np.int8(dosage))] = code
-    codes = code_map[geno.view(np.uint8)]
-
-    bps = (n_samples + 3) // 4
-    padded = np.zeros((n_snps, bps * 4), dtype=np.uint8)
-    padded[:, :n_samples] = codes
-    packed = (
-        padded[:, 0::4]
-        | (padded[:, 1::4] << 2)
-        | (padded[:, 2::4] << 4)
-        | (padded[:, 3::4] << 6)
-    ).astype(np.uint8)
+    packed = pack_bed_rows(geno, count_a1=count_a1)
 
     with open(prefix + ".bed", "wb") as fh:
         fh.write(_MAGIC)

@@ -101,13 +101,37 @@ def assign_first_containing_block(
     for chrom in set(norm_chroms.tolist()):
         snp_idx_by_chrom[chrom] = np.nonzero(norm_chroms == chrom)[0]
 
-    for b_idx, (chrom, start, end, _tag) in enumerate(parsed_blocks):
+    blocks_by_chrom: Dict[str, List[int]] = {}
+    for b_idx, (chrom, _s, _e, _t) in enumerate(parsed_blocks):
+        blocks_by_chrom.setdefault(chrom, []).append(b_idx)
+
+    for chrom, b_idxs in blocks_by_chrom.items():
         idx = snp_idx_by_chrom.get(chrom)
         if idx is None or len(idx) == 0:
             continue
         pos = positions[idx]
-        hit = (assignment[idx] < 0) & (pos >= start) & (pos <= end)
-        assignment[idx[hit]] = b_idx
+        starts = np.array([parsed_blocks[b][1] for b in b_idxs], dtype=np.int64)
+        ends = np.array([parsed_blocks[b][2] for b in b_idxs], dtype=np.int64)
+        order = np.argsort(starts, kind="stable")
+        s_sorted, e_sorted = starts[order], ends[order]
+        # Fast path: non-overlapping intervals (the common case for LD
+        # block files) — at most one block contains any position, so
+        # "first containing" is "the containing one" and a searchsorted
+        # resolves all SNPs of the chromosome at once.  The per-block
+        # mask walk is O(blocks x SNPs) and took ~90 s at 10M SNPs x
+        # 1,400 blocks; this is O(SNPs log blocks).
+        if len(s_sorted) > 1 and np.all(e_sorted[:-1] < s_sorted[1:]):
+            at = np.searchsorted(s_sorted, pos, side="right") - 1
+            at_c = np.clip(at, 0, len(s_sorted) - 1)
+            hit = (at >= 0) & (pos <= e_sorted[at_c])
+            assignment[idx[hit]] = np.asarray(b_idxs, dtype=np.int64)[
+                order[at_c[hit]]
+            ]
+            continue
+        for b in b_idxs:  # overlap-tolerant reference semantics
+            _c, start, end, _tag = parsed_blocks[b]
+            hit = (assignment[idx] < 0) & (pos >= start) & (pos <= end)
+            assignment[idx[hit]] = b
     return assignment
 
 

@@ -52,6 +52,40 @@ def make_structured(rng, n_snps, n_samples, n_pops=6, fst=0.15, missing=0.005):
     return geno
 
 
+def structured_strips(
+    rng, n_snps, n_samples, strip=262_144, n_pops=6, fst=0.15, missing=0.004
+):
+    """Strip-wise generator for genome-scale fixtures (bounded memory,
+    ~8x faster than the f64 path: uint8 draws against per-pop Beta
+    frequency thresholds quantized to 1/256)."""
+    ancestral = rng.uniform(0.05, 0.95, size=n_snps)
+    a = ancestral * (1 - fst) / fst
+    b = (1 - ancestral) * (1 - fst) / fst
+    pop_of = rng.integers(0, n_pops, size=n_samples)
+    cols_of = [np.nonzero(pop_of == p)[0] for p in range(n_pops)]
+    miss_t = int(round(missing * 256))
+    for lo in range(0, n_snps, strip):
+        hi = min(lo + strip, n_snps)
+        d = hi - lo
+        thr = np.clip(
+            np.round(
+                rng.beta(a[lo:hi, None], b[lo:hi, None], size=(d, n_pops)) * 256
+            ),
+            1, 255,
+        ).astype(np.uint8)
+        geno = np.empty((d, n_samples), dtype=np.int8)
+        for p in range(n_pops):
+            cols = cols_of[p]
+            t = thr[:, p][:, None]
+            r1 = rng.integers(0, 256, size=(d, len(cols)), dtype=np.uint8)
+            r2 = rng.integers(0, 256, size=(d, len(cols)), dtype=np.uint8)
+            geno[:, cols] = (r1 < t).astype(np.int8) + (r2 < t)
+        if miss_t > 0:
+            m = rng.integers(0, 256, size=(d, n_samples), dtype=np.uint8)
+            geno[m < miss_t] = -127
+        yield geno
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--snps", type=int, default=100_000)
@@ -59,6 +93,16 @@ def main() -> int:
     p.add_argument("--blocks", type=int, default=50)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--workdir", default=None)
+    p.add_argument(
+        "--no-oracle", action="store_true",
+        help="skip the host f64 oracle (timing-only run at scales where "
+        "the 2-core host oracle would dominate; concordance is "
+        "validated at <=1M SNPs, VALIDATION.md)",
+    )
+    p.add_argument(
+        "--keep-workdir", action="store_true",
+        help="do not delete the generated fixture (reuse across runs)",
+    )
     args = p.parse_args()
 
     logging.basicConfig(
@@ -78,9 +122,21 @@ def main() -> int:
 
     t0 = time.time()
     rng = np.random.default_rng(7)
-    geno = make_structured(rng, args.snps, args.samples)
     bp = (np.arange(args.snps) + 1) * 37
-    write_plink(prefix, geno, bp=list(bp))
+    if Path(prefix + ".bed").exists() and args.keep_workdir:
+        log.info("Reusing existing fixture at %s", prefix)
+    elif args.snps * args.samples > 2_000_000_000:
+        from genomic_pca_tpu.io.bed import write_plink_stream
+
+        write_plink_stream(
+            prefix,
+            structured_strips(rng, args.snps, args.samples),
+            args.samples,
+            bp=bp,
+        )
+    else:
+        geno = make_structured(rng, args.snps, args.samples)
+        write_plink(prefix, geno, bp=list(bp))
     edges = np.linspace(0, bp[-1] + 50, args.blocks + 1, dtype=np.int64)
     with open(workdir / "blocks.tsv", "w") as fh:
         for i in range(args.blocks):
@@ -106,6 +162,31 @@ def main() -> int:
     algo_time = time.time() - t0
     snps_per_sec = prep.n_pca_snps * (2 + algo.refine_passes) / algo_time
     log.info("EigenSNP done in %.1fs.", algo_time)
+
+    if args.no_oracle:
+        finite = bool(
+            np.isfinite(res.scores).all()
+            and np.isfinite(res.eigenvalues).all()
+            and np.isfinite(res.loadings).all()
+        )
+        ev = res.eigenvalues
+        summary = {
+            "platform": platform,
+            "n_snps": args.snps,
+            "n_pca_snps": prep.n_pca_snps,
+            "n_samples": args.samples,
+            "k": args.k,
+            "gen_seconds": round(gen_time, 2),
+            "prep_seconds": round(prep_time, 2),
+            "eigensnp_seconds": round(algo_time, 2),
+            "total_pipeline_seconds": round(prep_time + algo_time, 2),
+            "effective_snps_per_sec": round(snps_per_sec, 1),
+            "oracle": "skipped",
+            "eigenvalues_decreasing": bool(np.all(np.diff(ev) <= 1e-9)),
+            "pass": bool(finite and res.scores.shape[1] == args.k),
+        }
+        print(json.dumps(summary))
+        return 0 if summary["pass"] else 1
 
     t0 = time.time()
     raw_iter = (

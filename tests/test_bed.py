@@ -72,3 +72,26 @@ def test_magic_check(tmp_path):
     (tmp_path / "bad.fam").write_text("s\ts\t0\t0\t0\t-9\n")
     with pytest.raises(ValueError, match="not a PLINK1"):
         BedReader(str(tmp_path / "bad"))
+
+
+def test_write_plink_stream_matches_batch(tmp_path, rng):
+    """Streaming writer produces byte-identical .bed and equivalent
+    BIM/FAM to the in-memory writer."""
+    from genomic_pca_tpu.io.bed import write_plink_stream
+
+    g = make_genotypes(rng, 1000, 37, missing_rate=0.02)
+    write_plink(tmp_path / "a", g, bp=list(range(1, 1001)))
+    n = write_plink_stream(
+        tmp_path / "b",
+        iter([g[:300], g[300:777], g[777:]]),
+        37,
+        bp=np.arange(1, 1001),
+    )
+    assert n == 1000
+    assert (tmp_path / "a.bed").read_bytes() == (tmp_path / "b.bed").read_bytes()
+    ra, rb = BedReader(tmp_path / "a"), BedReader(tmp_path / "b")
+    np.testing.assert_array_equal(
+        ra.read(slice(0, 1000), None), rb.read(slice(0, 1000), None)
+    )
+    np.testing.assert_array_equal(ra.bim.bp, rb.bim.bp)
+    assert list(ra.fam.iid) == list(rb.fam.iid)

@@ -183,3 +183,39 @@ def test_segmented_fetch_blocks_and_translation(rng, seg_pair):
         seg.translate_row_runs(runs_bad[:, 0], runs_bad[:, 1])
     # Zero-length batch-padding runs are always fine.
     assert seg.runs_device_sliceable(np.array([[0, 0], [130, 0]]))
+
+
+def test_assignment_fast_path_matches_bruteforce(rng):
+    """Non-overlapping searchsorted fast path == brute-force first-
+    containing-block walk; overlapping files use the reference walk."""
+    n = 2000
+    bp = np.sort(rng.integers(1, 100_000, size=n)).astype(np.int64)
+    chroms = np.where(rng.random(n) < 0.5, "1", "2").tolist()
+
+    def brute(blocks):
+        out = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            for b, (c, s, e, _t) in enumerate(blocks):
+                if c == str(chroms[i]) and s <= bp[i] <= e:
+                    out[i] = b
+                    break
+        return out
+
+    # Non-overlapping per chromosome (fast path).
+    edges = np.sort(rng.choice(np.arange(1, 100_000), size=40, replace=False))
+    blocks = []
+    for c in ("1", "2"):
+        for j in range(0, len(edges) - 1, 2):
+            blocks.append((c, int(edges[j]), int(edges[j + 1]) - 1, f"{c}:{j}"))
+    got = assign_first_containing_block(chroms, bp, blocks)
+    np.testing.assert_array_equal(got, brute(blocks))
+
+    # Overlapping blocks (reference file-order walk).
+    blocks_ov = [
+        ("1", 10, 50_000, "a"),
+        ("1", 40_000, 90_000, "b"),
+        ("2", 1, 99_999, "c"),
+        ("2", 500, 600, "d"),
+    ]
+    got_ov = assign_first_containing_block(chroms, bp, blocks_ov)
+    np.testing.assert_array_equal(got_ov, brute(blocks_ov))
