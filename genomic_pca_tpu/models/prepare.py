@@ -68,6 +68,14 @@ def _default_device_budget() -> int:
     return 16 * (1 << 30)
 
 
+def _packed_cols(n_samples: int) -> int:
+    """Device column count of a packed row (lazy import: parallel.sharded
+    pulls in the kernel modules, which this module defers until needed)."""
+    from genomic_pca_tpu.parallel.sharded import packed_cols
+
+    return packed_cols(n_samples)
+
+
 @dataclasses.dataclass
 class QcCapture:
     """Device-resident genotype batches retained by the QC scan.
@@ -343,7 +351,7 @@ class PreparedData:
 
         from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
         from genomic_pca_tpu.parallel.sharded import (
-            PACKED_MISSING_BYTE, ShardedMatrix, inv_std_of,
+            PACKED_MISSING_BYTE, ShardedMatrix, inv_std_of, packed_cols,
         )
 
         mesh = mesh or make_mesh()
@@ -383,7 +391,7 @@ class PreparedData:
         pad_value = PACKED_MISSING_BYTE if packed else MISSING
         n_qc = self.n_samples
         if packed:
-            cols = -(-max(-(-n_qc // 4), 1) // 128) * 128
+            cols = packed_cols(n_qc)
         else:
             cols = -(-n_qc // 128) * 128
 
@@ -549,14 +557,10 @@ class PreparedData:
         ):
             # 2-bit resident path without capture: raw BED bytes for the
             # PCA rows upload verbatim (no decode, 4x less transfer).
-            from genomic_pca_tpu.parallel.sharded import sanitize_partial_byte
-
-            packed_rows = sanitize_partial_byte(
-                self.bed.read_packed(self.pca_snp_orig_indices),
-                self.n_samples,
-            )
+            # from_packed_rows sanitizes the trailing partial byte.
             sm = ShardedMatrix.from_packed_rows(
-                packed_rows, self.mean, self.std, self.n_samples, mesh=mesh
+                self.bed.read_packed(self.pca_snp_orig_indices),
+                self.mean, self.std, self.n_samples, mesh=mesh,
             )
             if self.config.missing_policy == "error" and sm.count_missing():
                 raise DataPrepError(
@@ -620,12 +624,12 @@ def _qc_snp_range(
     if packed:
         assert sample_sel is None, "packed QC requires the full sample set"
         from genomic_pca_tpu.parallel.sharded import (
-            PACKED_MISSING_BYTE, sanitize_partial_byte,
+            PACKED_MISSING_BYTE, packed_cols, sanitize_partial_byte,
         )
 
         from genomic_pca_tpu.ops.qc import genotype_counts_packed
 
-        n4_pad = -(-max(-(-n_qc // 4), 1) // 128) * 128
+        n4_pad = packed_cols(n_qc)
     if capture is not None:
         capture.batch_rows = batch_rows
         capture.packed = packed
@@ -701,6 +705,14 @@ def _qc_snp_range(
             # Backpressure: batches are not retained, so bound how many
             # uploads can be in flight at once.
             np.asarray(counts_dev[bi - 3][0, :1])
+        # Live progress: counts are fetched only after the loop, so the
+        # decode/upload position is the real-time signal (a hung scan is
+        # otherwise indistinguishable from a slow one).
+        if (bi + 1) % max(1, n_batches // 20) == 0 or bi + 1 == n_batches:
+            log.info(
+                "SNP QC scan: batch %d/%d (%.0f%%) decoded and dispatched.",
+                bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
+            )
 
     if counts_dev:
         all_counts = np.asarray(jnp.concatenate(counts_dev, axis=1))
@@ -712,10 +724,9 @@ def _qc_snp_range(
             keep_chunks.append(qc.keep)
             mean_chunks.append(qc.mean)
             std_chunks.append(qc.std)
-            log.info(
-                "SNP QC progress: batch %d/%d (%.1f%%), kept %d",
-                bi + 1, n_batches, 100.0 * (bi + 1) / n_batches,
-                int(qc.keep.sum()),
+            log.debug(
+                "SNP QC filter: batch %d/%d kept %d",
+                bi + 1, n_batches, int(qc.keep.sum()),
             )
     if not keep_chunks:
         return (
@@ -815,8 +826,7 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         if config.fuse_qc_matrix:
             max_rows = max(h - l for l, h in scan_ranges)
             if packed:
-                n4_pad = -(-max(-(-n_qc // 4), 1) // 128) * 128
-                pre_qc_bytes = max_rows * n4_pad
+                pre_qc_bytes = max_rows * _packed_cols(n_qc)
             else:
                 n_pad = -(-n_qc // 128) * 128
                 pre_qc_bytes = max_rows * n_pad
@@ -838,8 +848,8 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         # process's own row range and would never consume the capture.
         if config.fuse_qc_matrix and n_proc == 1:
             if packed:
-                n4_pad = -(-max(-(-n_qc // 4), 1) // 128) * 128
-                pre_qc_bytes = bed.n_snps * n4_pad  # 4x more data fits
+                # 4x more data fits in the packed layout
+                pre_qc_bytes = bed.n_snps * _packed_cols(n_qc)
             else:
                 n_pad = -(-n_qc // 128) * 128
                 pre_qc_bytes = bed.n_snps * n_pad

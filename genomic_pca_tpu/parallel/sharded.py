@@ -62,23 +62,24 @@ def inv_std_of(s: np.ndarray) -> np.ndarray:
 PACKED_MISSING_BYTE = 0x55  # four 01 (missing) fields
 
 
+def packed_cols(n_samples: int) -> int:
+    """Device column count for packed rows: ceil(n/4) bytes padded to the
+    128-lane granularity.  THE canonical packed-width expression — the
+    capture budget gates, batch padding, and resident-size estimate must
+    all agree with the actual device layout."""
+    return _round_up(max(-(-n_samples // 4), 1), 128)
+
+
 def pack_int8_rows(geno: np.ndarray) -> np.ndarray:
     """(D, N) int8 dosages -> (D, ceil(N/4)) PLINK-packed uint8.
 
-    Pad fields (beyond N in the last byte) are 01 = missing (inert)."""
-    d, n = np.asarray(geno).shape
-    n4 = -(-n // 4)
-    lut = np.zeros(256, dtype=np.uint8)
-    lut[2] = 0
-    lut[(-127) & 0xFF] = 1
-    lut[1] = 2
-    lut[0] = 3
-    codes = np.full((d, n4 * 4), 1, dtype=np.uint8)
-    codes[:, :n] = lut[np.ascontiguousarray(geno, dtype=np.int8).view(np.uint8)]
-    c = codes.reshape(d, n4, 4)
-    return (
-        c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
-    ).astype(np.uint8)
+    Pad fields (beyond N in the last byte) are 01 = missing (inert) —
+    the on-disk encoder zero-fills them (PLINK convention), so sanitize
+    afterwards."""
+    from genomic_pca_tpu.io.bed import pack_bed_rows
+
+    geno = np.asarray(geno)
+    return sanitize_partial_byte(pack_bed_rows(geno), geno.shape[1])
 
 
 def sanitize_partial_byte(
@@ -485,7 +486,7 @@ class ShardedMatrix:
         packed_rows = sanitize_partial_byte(packed_rows, n_samples)
         d = packed_rows.shape[0]
         d_pad = _round_up(max(d, 1), tile_d * n_dev)
-        n4_pad = _round_up(max(-(-n_samples // 4), 1), 128)
+        n4_pad = packed_cols(n_samples)
         g_pad = np.full((d_pad, n4_pad), PACKED_MISSING_BYTE, dtype=np.uint8)
         g_pad[:d, : packed_rows.shape[1]] = packed_rows
         m_pad = np.zeros((d_pad, 1), dtype=np.float32)
@@ -881,7 +882,12 @@ class ShardedMatrix:
     def count_missing(self) -> int:
         """Number of missing genotypes among real rows/columns (one
         scalar download; supports the strict `missing_policy="error"`
-        accessor semantics on the device path)."""
+        accessor semantics on the device path).
+
+        Runs under `jax.enable_x64`: without it the int64 accumulators
+        silently truncate to int32, which overflows at genome scale
+        (>2^31 missing entries wraps negative or, worse, to a small
+        positive count)."""
 
         segments = tuple(
             (int(m), int(c)) for m, _p, c in self._segments_or_default
@@ -891,7 +897,6 @@ class ShardedMatrix:
             n4 = self.geno.shape[1]
             n_samples = self.n_samples
 
-            @jax.jit
             def count_packed(g):
                 miss = jnp.zeros((), jnp.int64)
                 for mstart, cnt in segments:
@@ -906,9 +911,9 @@ class ShardedMatrix:
                         )
                 return miss
 
-            return int(np.asarray(count_packed(self.geno)))
+            with jax.enable_x64(True):
+                return int(np.asarray(jax.jit(count_packed)(self.geno)))
 
-        @jax.jit
         def count(g):
             miss = jnp.zeros((), jnp.int64)
             for mstart, cnt in segments:
@@ -916,7 +921,8 @@ class ShardedMatrix:
                 miss += jnp.sum(real == MISSING, dtype=jnp.int64)
             return miss
 
-        return int(np.asarray(count(self.geno)))
+        with jax.enable_x64(True):
+            return int(np.asarray(jax.jit(count)(self.geno)))
 
     def _rows_to_host(self, arr: jax.Array) -> np.ndarray:
         """Materialize a variant-sharded (d_pad, k) output on every host.

@@ -101,7 +101,8 @@ def main() -> int:
     )
     p.add_argument(
         "--keep-workdir", action="store_true",
-        help="do not delete the generated fixture (reuse across runs)",
+        help="reuse an existing fixture in --workdir instead of "
+        "regenerating (geometry is validated against --snps/--samples)",
     )
     args = p.parse_args()
 
@@ -124,6 +125,17 @@ def main() -> int:
     rng = np.random.default_rng(7)
     bp = (np.arange(args.snps) + 1) * 37
     if Path(prefix + ".bed").exists() and args.keep_workdir:
+        # The BED geometry must match the flags: bp / LD-block edges and
+        # the JSON summary are derived from --snps/--samples, so a stale
+        # fixture would silently record a wrong run.
+        expected = 3 + args.snps * (-(-args.samples // 4))
+        actual = Path(prefix + ".bed").stat().st_size
+        if actual != expected:
+            p.error(
+                f"existing fixture {prefix}.bed is {actual} bytes but "
+                f"--snps {args.snps} x --samples {args.samples} implies "
+                f"{expected}; delete the workdir or fix the flags"
+            )
         log.info("Reusing existing fixture at %s", prefix)
     elif args.snps * args.samples > 2_000_000_000:
         from genomic_pca_tpu.io.bed import write_plink_stream

@@ -10,23 +10,7 @@ import pytest
 
 from genomic_pca_tpu.ops import pallas_kernels as pk
 
-# dosage -> PLINK code (count_A1): 2->00, missing->01, 1->10, 0->11
-_DOSAGE_TO_CODE = {2: 0, -127: 1, 1: 2, 0: 3}
-
-
-def pack_rows(geno: np.ndarray) -> np.ndarray:
-    """(D, N) int8 dosages -> (D, ceil(N/4)) PLINK-packed uint8."""
-    d, n = geno.shape
-    n4 = -(-n // 4)
-    codes = np.full((d, n4 * 4), 1, dtype=np.uint8)  # pad = missing (01)
-    lut = np.zeros(256, dtype=np.uint8)
-    for dos, code in _DOSAGE_TO_CODE.items():
-        lut[dos & 0xFF] = code
-    codes[:, :n] = lut[geno.view(np.uint8)]
-    c = codes.reshape(d, n4, 4)
-    return (
-        c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
-    ).astype(np.uint8)
+from genomic_pca_tpu.parallel.sharded import pack_int8_rows as pack_rows
 
 
 @pytest.fixture
@@ -228,3 +212,13 @@ def test_packed_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(
         sm_p.right_apply(b), sm_x.right_apply(b), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pack_int8_rows_trailing_fields_missing(rng):
+    """Trailing 2-bit fields of a partial last byte must be the inert
+    01 (missing) code, not PLINK's zero-fill (00 = dosage 2)."""
+    g = rng.integers(0, 3, size=(5, 7)).astype(np.int8)
+    packed = pack_rows(g)
+    assert packed.shape == (5, 2)
+    # samples 4,5,6 occupy fields 0-2 of byte 1; field 3 must be 01
+    assert np.all((packed[:, 1] >> 6) == 1)
