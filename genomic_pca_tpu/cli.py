@@ -112,6 +112,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "keeps the QC scan's device uploads and skips "
                         "the second BED pass; disable to minimize HBM "
                         "held during preparation).")
+    p.add_argument("--eigensnp-qc-mode", default="auto",
+                   choices=("auto", "host", "device"),
+                   help="Where SNP-QC genotype histograms run: 'host' "
+                        "counts 2-bit codes off the mmap'd BED (native "
+                        "SWAR; nothing uploads until the post-QC "
+                        "matrix), 'device' reduces on the accelerator "
+                        "(enables QC->matrix capture fusion).  'auto' "
+                        "picks host for the single-process packed "
+                        "pipeline.  QC decisions are bit-identical "
+                        "across modes.")
     return p
 
 
@@ -164,6 +174,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 max_hwe_p=_default(args.eigensnp_max_hwe_p, 1e-6),
                 snp_chunk_size=_default(args.eigensnp_snp_strip_size, 2000),
                 fuse_qc_matrix=not args.eigensnp_no_fuse_qc,
+                qc_mode=args.eigensnp_qc_mode,
             )
             algo_cfg = EigenSnpConfig(
                 k_global=_default(args.eigensnp_k_global, 10),

@@ -58,6 +58,18 @@ class DataPrepConfig:
     # single-process when the pre-QC block fits comfortably in device
     # memory; otherwise the scan stays streaming (no behavior change).
     fuse_qc_matrix: bool = True
+    # Where the QC genotype histograms are computed.  "host" counts the
+    # 2-bit codes straight off the mmap'd BED bytes (native SWAR
+    # popcounts, numpy fallback) so NOTHING uploads to the device until
+    # the post-QC matrix — the minimum possible host->device traffic
+    # (the pre-QC block is 1.4-3x larger than the survivors).  "device"
+    # uploads pre-QC batches and reduces on the accelerator (required
+    # for the fused QC->matrix capture).  "auto" = host for the
+    # single-process packed pipeline, device otherwise (multi-process
+    # keeps the LD-aligned capture fusion; sample keep-lists need the
+    # int8 path).  Counts are exact integers either way, so QC
+    # decisions are bit-identical across modes.
+    qc_mode: str = "auto"  # "auto" | "host" | "device"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,7 +27,7 @@ _tried = False
 
 
 # Must match plinkio_abi_version() in native/plinkio.cpp.
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -75,6 +75,15 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p,  # out
     ]
     lib.plinkio_bgzf_inflate.restype = ctypes.c_int32
+    lib.plinkio_packed_qc_counts.argtypes = [
+        ctypes.c_void_p,  # packed
+        ctypes.c_void_p,  # snp_offsets (int64*)
+        ctypes.c_int64,  # n_rows
+        ctypes.c_int64,  # n_samples
+        ctypes.c_int,  # n_threads
+        ctypes.c_void_p,  # out (int32*, n_rows x 4)
+    ]
+    lib.plinkio_packed_qc_counts.restype = None
     return lib
 
 
@@ -148,6 +157,34 @@ def decode_bed_native(
         ctypes.c_int64(bytes_per_snp),
         ctypes.c_int64(n_samples),
         ctypes.c_int(1 if count_a1 else 0),
+        ctypes.c_int(n_threads),
+        out.ctypes.data,
+    )
+    return out
+
+
+def packed_qc_counts_native(
+    packed: np.ndarray,
+    snp_offsets: np.ndarray,
+    n_samples: int,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Per-SNP genotype counts (n0, n1, n2, n_valid) straight off packed
+    2-bit rows; (n_rows, 4) int32, or None if the native lib is
+    unavailable.  Identical counts to ops/qc.py:genotype_counts_packed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows = len(snp_offsets)
+    out = np.empty((n_rows, 4), dtype=np.int32)
+    offsets = np.ascontiguousarray(snp_offsets, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.plinkio_packed_qc_counts(
+        packed.ctypes.data,
+        offsets.ctypes.data,
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(n_samples),
         ctypes.c_int(n_threads),
         out.ctypes.data,
     )

@@ -741,6 +741,63 @@ def _qc_snp_range(
     )
 
 
+def _qc_snp_range_hostscan(
+    bed: BedReader,
+    config: DataPrepConfig,
+    n_qc: int,
+    lo: int,
+    hi: int,
+):
+    """Host-side packed SNP-QC scan over BIM rows [lo, hi).
+
+    Counts the 2-bit genotype codes straight off the mmap'd BED bytes
+    (native SWAR popcounts via plinkio_packed_qc_counts, numpy LUT
+    fallback) — no device upload, no decode.  The integer counts are
+    identical to the device reduction's, so keep/mean/std are
+    bit-identical to the device scan; the post-QC matrix then uploads
+    exactly once in load_matrix (the minimum possible link traffic).
+    Full-sample-set (packed) datasets only.
+    """
+    from genomic_pca_tpu.io.native import packed_qc_counts_native
+    from genomic_pca_tpu.ops.qc import genotype_counts_packed_host
+
+    chunk_rows = 262_144
+    n_chunks = max(1, -(-(hi - lo) // chunk_rows))
+    parts: List[np.ndarray] = []
+    for ci, start in enumerate(range(lo, hi, chunk_rows)):
+        end = min(start + chunk_rows, hi)
+        try:
+            offs = 3 + np.arange(start, end, dtype=np.int64) * bed._bytes_per_snp
+            counts = packed_qc_counts_native(bed._mmap, offs, bed.n_samples)
+            if counts is None:
+                counts = genotype_counts_packed_host(
+                    bed.read_packed(slice(start, end)), bed.n_samples
+                )
+        except (OSError, ValueError) as e:
+            # Chunk failures are logged and skipped (SNPs excluded),
+            # mirroring the reference's QC path (prepare.rs:1380-1398).
+            log.warning(
+                "SNP QC chunk %d-%d failed (%s); excluding its SNPs.",
+                start, end, e,
+            )
+            counts = np.zeros((end - start, 4), dtype=np.int32)
+        parts.append(counts)
+        if (ci + 1) % max(1, n_chunks // 20) == 0 or ci + 1 == n_chunks:
+            log.info(
+                "SNP QC host scan: chunk %d/%d (%.0f%%).",
+                ci + 1, n_chunks, 100.0 * (ci + 1) / n_chunks,
+            )
+    if not parts:
+        return (
+            np.zeros(0, dtype=bool),
+            np.zeros(0, dtype=np.float64),
+            np.zeros(0, dtype=np.float64),
+        )
+    c = np.concatenate(parts, axis=0)
+    qc = snp_qc_from_counts(c[:, 0], c[:, 1], c[:, 2], c[:, 3], n_qc, config)
+    return qc.keep, qc.mean, qc.std
+
+
 def _allgather_qc(
     keep: np.ndarray,
     mean: np.ndarray,
@@ -838,6 +895,15 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         )
         keep, mean_all, std_all = _allgather_qc(
             keep_l, mean_l, std_l, scan_ranges
+        )
+    elif packed and config.qc_mode in ("auto", "host"):
+        # Host-side packed scan: nothing uploads during QC; the post-QC
+        # matrix uploads exactly once in load_matrix.  Strictly less
+        # link traffic than any device-scan variant (capture ships the
+        # pre-QC block; no-capture ships pre-QC AND survivors).
+        log.info("SNP QC: host-side packed scan (qc_mode=%s).", config.qc_mode)
+        keep, mean_all, std_all = _qc_snp_range_hostscan(
+            bed, config, n_qc, 0, bed.n_snps
         )
     else:
         # QC->matrix fusion: retain the scan's device uploads when the

@@ -75,6 +75,42 @@ def genotype_counts_packed(strip: jax.Array, n_samples: int) -> tuple:
     return n0, n1, n2, n0 + n1 + n2
 
 
+# counts-per-byte of each 2-bit code: _PACKED_CODE_COUNT[code][byte]
+_PACKED_CODE_COUNT = np.zeros((4, 256), dtype=np.uint8)
+for _b in range(256):
+    for _p in range(4):
+        _PACKED_CODE_COUNT[(_b >> (2 * _p)) & 3, _b] += 1
+
+
+def genotype_counts_packed_host(
+    raw: np.ndarray, n_samples: int
+) -> np.ndarray:
+    """Host (numpy) analog of `genotype_counts_packed`: per-SNP counts
+    off raw packed rows with no device involvement.
+
+    `raw` is (rows, >= ceil(n_samples/4)) uint8 (extra pad columns are
+    ignored).  Returns (rows, 4) int32 columns (n0, n1, n2, n_valid) —
+    identical integers to the device reduction and to the native
+    `plinkio_packed_qc_counts`.
+    """
+    bps = (n_samples + 3) // 4
+    raw = np.asarray(raw, dtype=np.uint8)[:, :bps]
+    n0 = _PACKED_CODE_COUNT[3][raw].sum(axis=1, dtype=np.int64)
+    n1 = _PACKED_CODE_COUNT[2][raw].sum(axis=1, dtype=np.int64)
+    miss = _PACKED_CODE_COUNT[1][raw].sum(axis=1, dtype=np.int64)
+    rem = n_samples % 4
+    if rem and bps:
+        last = raw[:, -1]
+        for p in range(rem, 4):  # trailing pad fields are not samples
+            code = (last >> (2 * p)) & 3
+            n0 -= code == 3
+            n1 -= code == 2
+            miss -= code == 1
+    nv = n_samples - miss
+    n2 = nv - n0 - n1
+    return np.stack([n0, n1, n2, nv], axis=1).astype(np.int32)
+
+
 @dataclasses.dataclass
 class QcResult:
     """Per-strip QC outcome: survivor mask plus standardization moments."""

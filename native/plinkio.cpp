@@ -64,8 +64,8 @@ extern "C" {
 // changes; the Python binding refuses to load a mismatched .so (a stale
 // library would otherwise misinterpret arguments and crash the
 // process).  History: 1 = initial; 2 = n_threads param added to
-// plinkio_parse_vcf_lines.
-int64_t plinkio_abi_version() { return 2; }
+// plinkio_parse_vcf_lines; 3 = plinkio_packed_qc_counts added.
+int64_t plinkio_abi_version() { return 3; }
 
 // Decode selected SNP rows of a SNP-major .bed byte block into int8
 // dosages (missing = -127).  `snp_offsets[i]` is the byte offset of row
@@ -402,6 +402,93 @@ int32_t plinkio_bgzf_inflate(const uint8_t* buf, const int64_t* offsets,
   }
   for (auto& w : workers) w.join();
   return g_bgzf_error.load(std::memory_order_relaxed);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Packed QC genotype counts.
+//
+// Host-side per-SNP genotype histograms straight off the PLINK 2-bit
+// bytes (no decode, no device upload): the host analog of the device
+// reduction in ops/qc.py:genotype_counts_packed, feeding the identical
+// integer counts to the QC filter chain so decisions are bit-identical.
+// SWAR popcounts over 64-bit words: per word, lo/hi code bit-planes
+// classify all 32 fields at once.
+
+namespace {
+
+void qc_count_rows(const uint8_t* packed, const int64_t* snp_offsets,
+                   int64_t row_begin, int64_t row_end, int64_t n_samples,
+                   int32_t* out /* (n_rows, 4): n0, n1, n2, n_valid */) {
+  const uint64_t kLoMask = 0x5555555555555555ull;
+  const int64_t full_bytes = n_samples / 4;
+  const int64_t rem_fields = n_samples - full_bytes * 4;
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    const uint8_t* src = packed + snp_offsets[r];
+    int64_t c_dos0 = 0, c_dos1 = 0, c_miss = 0;  // codes 11, 10, 01
+    int64_t b = 0;
+    for (; b + 8 <= full_bytes; b += 8) {
+      uint64_t x;
+      std::memcpy(&x, src + b, 8);
+      uint64_t lo = x & kLoMask;
+      uint64_t hi = (x >> 1) & kLoMask;
+      c_dos0 += __builtin_popcountll(lo & hi);
+      c_dos1 += __builtin_popcountll(hi & ~lo);
+      c_miss += __builtin_popcountll(lo & ~hi);
+    }
+    if (b < full_bytes) {
+      // Zero-padded tail word: code 00 sets no bit in any of the three
+      // counted planes, and n2 is derived by complement, so the pad
+      // bytes are inert.
+      uint64_t x = 0;
+      std::memcpy(&x, src + b, full_bytes - b);
+      uint64_t lo = x & kLoMask;
+      uint64_t hi = (x >> 1) & kLoMask;
+      c_dos0 += __builtin_popcountll(lo & hi);
+      c_dos1 += __builtin_popcountll(hi & ~lo);
+      c_miss += __builtin_popcountll(lo & ~hi);
+    }
+    for (int64_t p = 0; p < rem_fields; ++p) {
+      int code = (src[full_bytes] >> (2 * p)) & 0b11;
+      c_dos0 += (code == 3);
+      c_dos1 += (code == 2);
+      c_miss += (code == 1);
+    }
+    int32_t* dst = out + r * 4;
+    dst[0] = static_cast<int32_t>(c_dos0);
+    dst[1] = static_cast<int32_t>(c_dos1);
+    dst[3] = static_cast<int32_t>(n_samples - c_miss);  // n_valid
+    dst[2] = static_cast<int32_t>(dst[3] - c_dos0 - c_dos1);  // n2
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-SNP genotype counts over SNP-major packed rows.  `snp_offsets[i]`
+// is the byte offset of row i within `packed`; each row spans
+// ceil(n_samples/4) bytes.  out is (n_rows, 4) int32: n0 (dosage 0 =
+// code 11), n1 (code 10), n2 (code 00), n_valid.  Parallel over rows.
+void plinkio_packed_qc_counts(const uint8_t* packed,
+                              const int64_t* snp_offsets, int64_t n_rows,
+                              int64_t n_samples, int n_threads,
+                              int32_t* out) {
+  if (n_threads <= 1 || n_rows < 1024) {
+    qc_count_rows(packed, snp_offsets, 0, n_rows, n_samples, out);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t begin = t * chunk;
+    int64_t end = std::min(n_rows, begin + chunk);
+    if (begin >= end) break;
+    workers.emplace_back(qc_count_rows, packed, snp_offsets, begin, end,
+                         n_samples, out);
+  }
+  for (auto& w : workers) w.join();
 }
 
 }  // extern "C"

@@ -231,8 +231,9 @@ def test_fused_qc_matrix_identical(tmp_path, rng):
     import dataclasses
 
     geno, prefix, cfg = _setup(tmp_path, rng, n_snps=450, n_samples=40)
-    # small device batches -> several captured batches
-    cfg = dataclasses.replace(cfg, qc_device_batch=200)
+    # small device batches -> several captured batches; capture requires
+    # the device QC scan (the default host scan never uploads pre-QC)
+    cfg = dataclasses.replace(cfg, qc_device_batch=200, qc_mode="device")
 
     prep_f = prepare_data(cfg)
     assert prep_f.qc_capture is not None and len(prep_f.qc_capture.batches) > 1
@@ -262,10 +263,36 @@ def test_fusion_skipped_when_over_budget(tmp_path, rng, monkeypatch):
     budget gate; the re-read path still produces a working matrix."""
     from genomic_pca_tpu.models import prepare as prep_mod
 
+    import dataclasses
+
     geno, prefix, cfg = _setup(tmp_path, rng, n_snps=300, n_samples=32)
+    cfg = dataclasses.replace(cfg, qc_mode="device")
     monkeypatch.setattr(prep_mod, "_default_device_budget", lambda: 1024)
     monkeypatch.setattr(prep_mod, "_device_memory_budget", lambda: 1024)
     prep = prepare_data(cfg)
     assert prep.qc_capture is None
     sm = prep.load_matrix()
     assert sm.n_rows == prep.n_pca_snps
+
+
+def test_qc_mode_host_bitidentical_to_device(tmp_path, rng):
+    """The host packed QC scan (default single-process) must reproduce
+    the device scan's keep/mean/std and final matrix bit-for-bit."""
+    import dataclasses
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=400, n_samples=37)
+    prep_h = prepare_data(dataclasses.replace(cfg, qc_mode="host"))
+    assert prep_h.qc_capture is None  # nothing uploaded during QC
+    prep_d = prepare_data(dataclasses.replace(cfg, qc_mode="device"))
+
+    np.testing.assert_array_equal(
+        prep_h.pca_snp_orig_indices, prep_d.pca_snp_orig_indices
+    )
+    np.testing.assert_array_equal(prep_h.mean, prep_d.mean)
+    np.testing.assert_array_equal(prep_h.std, prep_d.std)
+
+    sm_h, sm_d = prep_h.load_matrix(), prep_d.load_matrix()
+    np.testing.assert_array_equal(np.asarray(sm_h.geno), np.asarray(sm_d.geno))
+    np.testing.assert_array_equal(
+        np.asarray(sm_h.inv_std), np.asarray(sm_d.inv_std)
+    )

@@ -143,3 +143,24 @@ def test_vcf_chunk_boundary(tmp_path, rng, monkeypatch):
         all_dos.append(d[: n][k[:n].astype(bool)])
     got = np.concatenate(all_dos, axis=0)
     np.testing.assert_array_equal(got, ref.dosages)
+
+
+def test_packed_qc_counts_native_matches_numpy(tmp_path, rng):
+    """Native SWAR QC counts == numpy LUT fallback == device reduction,
+    straight off a real .bed mmap (partial trailing byte included)."""
+    from genomic_pca_tpu.io.native import packed_qc_counts_native
+    from genomic_pca_tpu.ops.qc import genotype_counts_packed_host
+
+    n_snps, n_samples = 1500, 37  # 37 % 4 != 0 -> partial byte
+    g = make_genotypes(rng, n_snps, n_samples, missing_rate=0.03)
+    write_plink(tmp_path / "qc", g, bp=list(range(1, n_snps + 1)))
+    bed = BedReader(tmp_path / "qc")
+    offs = 3 + np.arange(n_snps, dtype=np.int64) * bed._bytes_per_snp
+    got = packed_qc_counts_native(bed._mmap, offs, n_samples)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    want = genotype_counts_packed_host(bed.read_packed(), n_samples)
+    np.testing.assert_array_equal(got, want)
+    # threading invariance
+    got1 = packed_qc_counts_native(bed._mmap, offs, n_samples, n_threads=1)
+    np.testing.assert_array_equal(got, got1)

@@ -128,3 +128,30 @@ def test_counts_int32_exact_large():
     qc = snp_qc_from_counts(n0, n1, n2, nv, n, DataPrepConfig(min_maf=0.0))
     assert qc.mean[0] == 0.0  # monomorphic -> dropped, mean zeroed
     assert not qc.keep[0]
+
+
+def test_packed_host_counts_match_device(rng):
+    """Host LUT counts == device packed reduction, including a partial
+    trailing byte and extra 0x55 pad columns."""
+    from genomic_pca_tpu.ops.qc import (
+        genotype_counts_packed, genotype_counts_packed_host,
+    )
+    from genomic_pca_tpu.parallel.sharded import pack_int8_rows
+
+    for n_samples in (37, 40, 127, 256):
+        g = rng.integers(0, 3, size=(97, n_samples)).astype(np.int8)
+        g[rng.random(g.shape) < 0.07] = -127
+        packed = pack_int8_rows(g)
+        # widen with inert pad columns like the device layout does
+        wide = np.full((97, packed.shape[1] + 5), 0x55, dtype=np.uint8)
+        wide[:, : packed.shape[1]] = packed
+        host = genotype_counts_packed_host(wide, n_samples)
+        dev = np.stack(
+            [np.asarray(a) for a in
+             genotype_counts_packed(jnp.asarray(packed), n_samples)],
+            axis=1,
+        )
+        np.testing.assert_array_equal(host, dev)
+        # and against the int8 truth
+        n0, n1, n2, nv = (np.asarray(a) for a in genotype_counts(jnp.asarray(g)))
+        np.testing.assert_array_equal(host, np.stack([n0, n1, n2, nv], axis=1))
