@@ -530,6 +530,38 @@ class PreparedData:
                     return sm
             self.qc_capture = None  # non-canonical mesh: release batches
 
+            if packed_ok:
+                # Each process uploads only its own survivors as raw
+                # 2-bit bytes — 4x less per-host transfer than int8.
+                from genomic_pca_tpu.parallel.sharded import (
+                    sanitize_partial_byte,
+                )
+
+                def read_packed_rows(lo: int, hi: int):
+                    orig = self.pca_snp_orig_indices[lo:hi]
+                    raw = sanitize_partial_byte(
+                        self.bed.read_packed(orig), self.n_samples
+                    )
+                    return raw, self.mean[lo:hi], self.std[lo:hi]
+
+                sm = ShardedMatrix.from_local_rows(
+                    read_packed_rows,
+                    n_rows=self.n_pca_snps,
+                    n_samples=self.n_samples,
+                    mesh=mesh,
+                    packed=True,
+                )
+                if (
+                    self.config.missing_policy == "error"
+                    and sm.count_missing()
+                ):
+                    raise DataPrepError(
+                        "Missing genotypes present post-QC with "
+                        "missing_policy='error' (reference accessor "
+                        "semantics, prepare.rs:1906-1911)."
+                    )
+                return sm
+
             def read_rows(lo: int, hi: int):
                 orig = self.pca_snp_orig_indices[lo:hi]
                 raw = self.bed.read(orig, self.qc_sample_indices)
@@ -876,23 +908,34 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
             "Distributed SNP QC: process %d/%d scans rows [%d, %d).",
             jax.process_index(), n_proc, lo, hi,
         )
-        # Fused capture engages only when EVERY process's pre-QC range
-        # fits its capture budget — the decision must be deterministic
-        # and identical across processes (the global-array assembly in
-        # load_matrix is collective).
-        if config.fuse_qc_matrix:
-            max_rows = max(h - l for l, h in scan_ranges)
-            if packed:
-                pre_qc_bytes = max_rows * _packed_cols(n_qc)
-            else:
-                n_pad = -(-n_qc // 128) * 128
-                pre_qc_bytes = max_rows * n_pad
-            if pre_qc_bytes <= 0.45 * _default_device_budget():
-                capture = QcCapture()
-        keep_l, mean_l, std_l = _qc_snp_range(
-            bed, config, sample_sel, n_qc, lo, hi,
-            capture=capture, packed=packed,
-        )
+        if packed and config.qc_mode == "host":
+            # Forced host scan: each process counts its range off its
+            # own mmap; load_matrix then uploads only its survivors as
+            # packed bytes (from_local_rows packed=True).  "auto" keeps
+            # the device scan + capture fusion multi-process (capture
+            # avoids the post-QC BED re-read on each host).
+            log.info("SNP QC: host-side packed scan (qc_mode=host).")
+            keep_l, mean_l, std_l = _qc_snp_range_hostscan(
+                bed, config, n_qc, lo, hi
+            )
+        else:
+            # Fused capture engages only when EVERY process's pre-QC
+            # range fits its capture budget — the decision must be
+            # deterministic and identical across processes (the
+            # global-array assembly in load_matrix is collective).
+            if config.fuse_qc_matrix:
+                max_rows = max(h - l for l, h in scan_ranges)
+                if packed:
+                    pre_qc_bytes = max_rows * _packed_cols(n_qc)
+                else:
+                    n_pad = -(-n_qc // 128) * 128
+                    pre_qc_bytes = max_rows * n_pad
+                if pre_qc_bytes <= 0.45 * _default_device_budget():
+                    capture = QcCapture()
+            keep_l, mean_l, std_l = _qc_snp_range(
+                bed, config, sample_sel, n_qc, lo, hi,
+                capture=capture, packed=packed,
+            )
         keep, mean_all, std_all = _allgather_qc(
             keep_l, mean_l, std_l, scan_ranges
         )

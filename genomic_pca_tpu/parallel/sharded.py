@@ -394,6 +394,7 @@ class ShardedMatrix:
         tile_d: int = 1024,
         kernel_precision: str = "bf16",
         center_only: bool = False,
+        packed: bool = False,
     ) -> "ShardedMatrix":
         """Multi-host constructor: each PROCESS reads only the global row
         range its devices own (per-host BED byte-range reads, SURVEY §5
@@ -402,13 +403,15 @@ class ShardedMatrix:
         transit through a single host.
 
         `read_rows(lo, hi)` returns host arrays for global SNP rows
-        [lo, hi) clipped to n_rows: geno int8 (hi-lo', N), mean (hi-lo',),
-        std (hi-lo',).  Works unchanged single-process.
+        [lo, hi) clipped to n_rows: geno (hi-lo', N) int8 dosages — or,
+        with `packed=True`, (hi-lo', ceil(N/4)) raw PLINK uint8 bytes
+        (sanitized here; 4x less upload per host) — plus mean (hi-lo',)
+        and std (hi-lo',).  Works unchanged single-process.
         """
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
         d_pad = _round_up(max(n_rows, 1), tile_d * n_dev)
-        n_pad = _round_up(n_samples, 128)
+        n_pad = packed_cols(n_samples) if packed else _round_up(n_samples, 128)
         rows_per_dev = d_pad // n_dev
 
         proc = jax.process_index()
@@ -419,22 +422,29 @@ class ShardedMatrix:
         lo = min(local_dev_idx) * rows_per_dev
         hi = (max(local_dev_idx) + 1) * rows_per_dev
 
+        geno_dtype = np.uint8 if packed else np.int8
         read_hi = min(hi, n_rows)
         if lo < read_hi:
             g, m, s = read_rows(lo, read_hi)
-            g = np.asarray(g, dtype=np.int8)
+            g = np.asarray(g, dtype=geno_dtype)
+            if packed:
+                g = sanitize_partial_byte(g, n_samples)
             m = np.asarray(m, dtype=np.float32)
             s = np.asarray(s, dtype=np.float32)
         else:
-            g = np.zeros((0, n_samples), dtype=np.int8)
+            g = np.zeros((0, (n_samples + 3) // 4 if packed else n_samples), geno_dtype)
             m = np.zeros(0, dtype=np.float32)
             s = np.zeros(0, dtype=np.float32)
         if center_only:
             s = np.ones_like(m)
 
         local_rows = hi - lo
-        g_loc = np.full((local_rows, n_pad), MISSING, dtype=np.int8)
-        g_loc[: g.shape[0], :n_samples] = g
+        g_loc = np.full(
+            (local_rows, n_pad),
+            PACKED_MISSING_BYTE if packed else MISSING,
+            dtype=geno_dtype,
+        )
+        g_loc[: g.shape[0], : g.shape[1]] = g
         m_loc = np.zeros((local_rows, 1), dtype=np.float32)
         m_loc[: len(m), 0] = m
         inv_loc = np.zeros((local_rows, 1), dtype=np.float32)

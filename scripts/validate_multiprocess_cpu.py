@@ -39,8 +39,9 @@ os.environ["XLA_FLAGS"] = (
 import jax
 jax.config.update("jax_platforms", "cpu")
 
-pid, nproc, port, workdir, repo = (
-    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5]
+pid, nproc, port, workdir, repo, qc_mode = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
+    sys.argv[6],
 )
 sys.path.insert(0, repo)
 jax.distributed.initialize(
@@ -58,19 +59,27 @@ cfg = DataPrepConfig(
     bed_path=f"{workdir}/mh", ld_block_path=f"{workdir}/blocks.tsv",
     min_call_rate=0.5, min_maf=0.01, max_hwe_p=1e-6,
     snp_chunk_size=64, qc_device_batch=128, distributed_qc=True,
+    qc_mode=qc_mode,
 )
 prep = prepare_data(cfg)
-
-# The fused multi-process assembly must engage: the QC scan captured
-# this process's device batches, and matrix load must NOT fall back to
-# the BED re-read path (from_local_rows).
-assert prep.qc_capture is not None, "QC capture did not engage"
 assert prep.scan_ranges is not None and len(prep.scan_ranges) == nproc
 
-def _no_reread(*a, **kw):
-    raise AssertionError("fused path fell back to from_local_rows")
+if qc_mode == "host":
+    # Host scan: no device uploads during QC; each process uploads only
+    # its survivors as raw 2-bit bytes (from_local_rows packed=True).
+    assert prep.qc_capture is None, "host scan must not capture"
+    sm = prep.load_matrix()
+    assert sm.packed, "multi-process packed load did not engage"
+else:
+    # The fused multi-process assembly must engage: the QC scan captured
+    # this process's device batches, and matrix load must NOT fall back
+    # to the BED re-read path (from_local_rows).
+    assert prep.qc_capture is not None, "QC capture did not engage"
 
-_sharded.ShardedMatrix.from_local_rows = staticmethod(_no_reread)
+    def _no_reread(*a, **kw):
+        raise AssertionError("fused path fell back to from_local_rows")
+
+    _sharded.ShardedMatrix.from_local_rows = staticmethod(_no_reread)
 
 ecfg = EigenSnpConfig(
     k_global=4, components_per_block=3, min_subset_size=48,
@@ -93,6 +102,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--port", type=int, default=12931)
+    ap.add_argument(
+        "--qc-mode", default="auto", choices=("auto", "host", "device"),
+        help="QC scan placement for the children (host = per-range mmap "
+        "counts + packed survivor upload; auto/device = device scan "
+        "with LD-aligned capture fusion)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -118,7 +133,7 @@ def main() -> None:
         procs = [
             subprocess.Popen(
                 [sys.executable, child, str(p), str(args.nproc),
-                 str(args.port), td, repo],
+                 str(args.port), td, repo, args.qc_mode],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
             for p in range(args.nproc)

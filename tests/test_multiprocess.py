@@ -30,3 +30,18 @@ def test_two_process_eigensnp_matches_single():
     assert result["pass"]
     assert result["min_score_abs_r"] > 0.999
     assert result["min_loading_abs_r"] > 0.999
+
+
+def test_two_process_host_qc_packed_load_matches_single():
+    """qc_mode=host multi-process: per-range mmap QC counts + packed
+    survivor upload per process, checked against the single-process run."""
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "validate_multiprocess_cpu.py"),
+         "--port", "12967", "--qc-mode", "host"],
+        capture_output=True, text=True, timeout=560, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["pass"]
+    assert result["min_score_abs_r"] > 0.999
+    assert result["min_loading_abs_r"] > 0.999
