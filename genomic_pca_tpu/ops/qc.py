@@ -161,21 +161,37 @@ def snp_qc_from_counts(
         keep &= np.abs(freq) >= 1e-9
         keep &= np.abs(1.0 - freq) >= 1e-9
 
+        # The later filters evaluate only on rows still alive (the
+        # reference's per-SNP loop short-circuits the same way,
+        # prepare.rs:1280-1363) — at genome scale the HWE chain over
+        # all 10M rows cost minutes of host time for SNPs the MAF gate
+        # had already dropped.  Identical decisions: same formulas on
+        # the same elements.
+        alive = np.flatnonzero(keep)
+
         # 3. HWE, only when the filter is active (prepare.rs:1306-1311)
-        if config.max_hwe_p < 1.0:
-            hwe_p = hwe_chi2_p(n0, n1, n2)
-            keep &= hwe_p > config.max_hwe_p
+        if config.max_hwe_p < 1.0 and len(alive):
+            hwe_p = hwe_chi2_p(n0[alive], n1[alive], n2[alive])
+            fail = hwe_p <= config.max_hwe_p
+            keep[alive[fail]] = False
+            alive = alive[~fail]
 
         # 4. sample variance ddof=1 (prepare.rs:1316-1363): exact via
         #    sum(g^2) = n1 + 4*n2  =>  ssd = sum(g^2) - nv*mean^2
-        sum_sq = (n1 + 4 * n2).astype(np.float64)
-        ssd = sum_sq - nv * mean * mean
-        var = np.where(nv >= 2, ssd / np.maximum(nv - 1, 1), 0.0)
-        keep &= var > config.min_variance
+        nv_a = nv[alive]
+        mean_a = mean[alive]
+        sum_sq = (n1[alive] + 4 * n2[alive]).astype(np.float64)
+        ssd = sum_sq - nv_a * mean_a * mean_a
+        var_a = np.where(nv_a >= 2, ssd / np.maximum(nv_a - 1, 1), 0.0)
+        fail = var_a <= config.min_variance
+        keep[alive[fail]] = False
+        alive = alive[~fail]
+        var_a = var_a[~fail]
 
-    std = np.sqrt(np.maximum(var, 0.0))
-    mean_out = np.where(keep, mean, 0.0).astype(np.float32)
-    std_out = np.where(keep, std, 0.0).astype(np.float32)
+    mean_out = np.zeros(len(keep), dtype=np.float32)
+    std_out = np.zeros(len(keep), dtype=np.float32)
+    mean_out[alive] = mean[alive].astype(np.float32)
+    std_out[alive] = np.sqrt(np.maximum(var_a, 0.0)).astype(np.float32)
     return QcResult(keep=keep, mean=mean_out, std=std_out)
 
 
