@@ -588,12 +588,40 @@ class PreparedData:
             and self.n_pca_snps > 0
         ):
             # 2-bit resident path without capture: raw BED bytes for the
-            # PCA rows upload verbatim (no decode, 4x less transfer).
-            # from_packed_rows sanitizes the trailing partial byte.
-            sm = ShardedMatrix.from_packed_rows(
-                self.bed.read_packed(self.pca_snp_orig_indices),
-                self.mean, self.std, self.n_samples, mesh=mesh,
+            # PCA rows upload verbatim, strip-streamed so the host never
+            # materializes the full block and the gather/page-fault time
+            # hides under the transfer.  Strip streaming transiently
+            # doubles device memory (strips + concatenated shards), so
+            # fall back to the one-shot buffer when that would not fit.
+            from genomic_pca_tpu.parallel.sharded import (
+                sanitize_partial_byte,
             )
+
+            bps = self.bed._bytes_per_snp
+            body = self.bed._mmap[
+                3 : 3 + self.bed.n_snps * bps
+            ].reshape(self.bed.n_snps, bps)
+            idx = self.pca_snp_orig_indices
+
+            def read_strip(lo: int, hi: int) -> np.ndarray:
+                return sanitize_partial_byte(
+                    body[idx[lo:hi]], self.n_samples
+                )
+
+            if 2 * resident_bytes <= 0.85 * budget:
+                sm = ShardedMatrix.from_packed_strips(
+                    read_strip,
+                    n_rows=self.n_pca_snps,
+                    mean=self.mean,
+                    std=self.std,
+                    n_samples=self.n_samples,
+                    mesh=mesh,
+                )
+            else:
+                sm = ShardedMatrix.from_packed_rows(
+                    self.bed.read_packed(idx),
+                    self.mean, self.std, self.n_samples, mesh=mesh,
+                )
             if self.config.missing_policy == "error" and sm.count_missing():
                 raise DataPrepError(
                     "Missing genotypes present post-QC with "
@@ -793,9 +821,17 @@ def _qc_snp_range_hostscan(
     from genomic_pca_tpu.io.native import packed_qc_counts_native
     from genomic_pca_tpu.ops.qc import genotype_counts_packed_host
 
+    # Filtering runs PER CHUNK (like the device path runs per batch):
+    # one whole-range pass would allocate ~15 fresh 80 MB temporaries at
+    # 10M rows, and large numpy temporaries are mmap'd/munmap'd per op —
+    # on slow-page-fault hosts the fault cost dwarfed the arithmetic
+    # (measured 57-143 s vs 17 s with reused buffers).  Chunk-sized
+    # temporaries get recycled by the allocator across iterations.
     chunk_rows = 262_144
     n_chunks = max(1, -(-(hi - lo) // chunk_rows))
-    parts: List[np.ndarray] = []
+    keeps: List[np.ndarray] = []
+    means: List[np.ndarray] = []
+    stds: List[np.ndarray] = []
     for ci, start in enumerate(range(lo, hi, chunk_rows)):
         end = min(start + chunk_rows, hi)
         try:
@@ -813,21 +849,29 @@ def _qc_snp_range_hostscan(
                 start, end, e,
             )
             counts = np.zeros((end - start, 4), dtype=np.int32)
-        parts.append(counts)
+        qc = snp_qc_from_counts(
+            counts[:, 0], counts[:, 1], counts[:, 2], counts[:, 3],
+            n_qc, config,
+        )
+        keeps.append(qc.keep)
+        means.append(qc.mean)
+        stds.append(qc.std)
         if (ci + 1) % max(1, n_chunks // 20) == 0 or ci + 1 == n_chunks:
             log.info(
                 "SNP QC host scan: chunk %d/%d (%.0f%%).",
                 ci + 1, n_chunks, 100.0 * (ci + 1) / n_chunks,
             )
-    if not parts:
+    if not keeps:
         return (
             np.zeros(0, dtype=bool),
             np.zeros(0, dtype=np.float64),
             np.zeros(0, dtype=np.float64),
         )
-    c = np.concatenate(parts, axis=0)
-    qc = snp_qc_from_counts(c[:, 0], c[:, 1], c[:, 2], c[:, 3], n_qc, config)
-    return qc.keep, qc.mean, qc.std
+    return (
+        np.concatenate(keeps),
+        np.concatenate(means),
+        np.concatenate(stds),
+    )
 
 
 def _allgather_qc(

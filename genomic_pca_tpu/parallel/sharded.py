@@ -518,6 +518,84 @@ class ShardedMatrix:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def from_packed_strips(
+        read_strip,  # Callable[[int, int], np.ndarray] rows [lo, hi) -> (hi-lo, <=cols) uint8
+        n_rows: int,
+        mean: np.ndarray,
+        std: np.ndarray,
+        n_samples: int,
+        mesh: Optional[Mesh] = None,
+        mode: Optional[str] = None,
+        tile_d: int = 1024,
+        kernel_precision: str = "bf16",
+        strip_rows: int = 262_144,
+    ) -> "ShardedMatrix":
+        """Packed constructor that streams strip-sized host buffers to
+        the device(s) with ASYNC device_puts, then concatenates
+        device-side into each device's (rows_per_dev, cols) shard.
+
+        Equivalent result to `from_packed_rows`, but the host never
+        materializes the full (d_pad, cols) block: at genome scale the
+        first-touch page faults of one fresh multi-GB buffer cost
+        minutes on lazily-ballooned VMs, and here they amortize across
+        strips that upload while later strips are still being gathered
+        — the fault+gather time hides entirely under the transfer.
+        Transient device memory is 2x the resident block (strips + the
+        concatenated shard), so callers should gate on that.
+
+        `read_strip(lo, hi)` returns SANITIZED packed rows for global
+        post-QC rows [lo, hi) (lo/hi never exceed n_rows).  Strips are
+        row-padded/column-padded here with inert all-missing bytes.
+        """
+        mesh = mesh or make_mesh()
+        n_dev = mesh.devices.size
+        d_pad = _round_up(max(n_rows, 1), tile_d * n_dev)
+        n4_pad = packed_cols(n_samples)
+        rows_per_dev = d_pad // n_dev
+        flat = list(mesh.devices.flat)
+
+        per_dev = []
+        for di, dev in enumerate(flat):
+            dev_lo = di * rows_per_dev
+            chunks = []
+            for lo in range(dev_lo, dev_lo + rows_per_dev, strip_rows):
+                hi = min(lo + strip_rows, dev_lo + rows_per_dev)
+                buf = np.full(
+                    (hi - lo, n4_pad), PACKED_MISSING_BYTE, dtype=np.uint8
+                )
+                read_hi = min(hi, n_rows)
+                if lo < read_hi:
+                    rows = read_strip(lo, read_hi)
+                    buf[: read_hi - lo, : rows.shape[1]] = rows
+                chunks.append(jax.device_put(buf, dev))  # async upload
+            per_dev.append(
+                chunks[0]
+                if len(chunks) == 1
+                else jnp.concatenate(chunks, axis=0)
+            )
+
+        sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
+        geno = jax.make_array_from_single_device_arrays(
+            (d_pad, n4_pad), sh, per_dev
+        )
+        m_pad = np.zeros((d_pad, 1), dtype=np.float32)
+        m_pad[:n_rows, 0] = np.asarray(mean, dtype=np.float32)
+        inv_pad = np.zeros((d_pad, 1), dtype=np.float32)
+        inv_pad[:n_rows, 0] = inv_std_of(np.asarray(std, dtype=np.float32))
+        return ShardedMatrix(
+            geno=geno,
+            mean=jax.device_put(m_pad, sh),
+            inv_std=jax.device_put(inv_pad, sh),
+            n_rows=n_rows,
+            n_samples=n_samples,
+            mesh=mesh,
+            mode=mode,
+            tile_d=tile_d,
+            kernel_precision=kernel_precision,
+        )
+
+    # ------------------------------------------------------------------
     def _local_ops(self):
         """Local (per-shard) pass implementations for each backend mode."""
         tile_d = self.tile_d

@@ -222,3 +222,34 @@ def test_pack_int8_rows_trailing_fields_missing(rng):
     assert packed.shape == (5, 2)
     # samples 4,5,6 occupy fields 0-2 of byte 1; field 3 must be 01
     assert np.all((packed[:, 1] >> 6) == 1)
+
+
+def test_from_packed_strips_matches_from_packed_rows(rng):
+    """Strip-streamed constructor == one-shot constructor bit-for-bit
+    (multi-device mesh, partial trailing byte, row padding)."""
+    from genomic_pca_tpu.parallel.sharded import (
+        ShardedMatrix, sanitize_partial_byte,
+    )
+
+    d, n = 700, 37
+    geno = rng.integers(0, 3, size=(d, n)).astype(np.int8)
+    geno[rng.random((d, n)) < 0.05] = -127
+    packed = pack_rows(geno)
+    mean = rng.random(d).astype(np.float32)
+    std = (rng.random(d).astype(np.float32) + 0.5)
+
+    sm_a = ShardedMatrix.from_packed_rows(packed, mean, std, n)
+
+    def read_strip(lo, hi):
+        return sanitize_partial_byte(packed[lo:hi], n)
+
+    sm_b = ShardedMatrix.from_packed_strips(
+        read_strip, n_rows=d, mean=mean, std=std, n_samples=n,
+        strip_rows=96,
+    )
+    assert sm_b.packed and sm_b.n_rows == d
+    np.testing.assert_array_equal(np.asarray(sm_a.geno), np.asarray(sm_b.geno))
+    np.testing.assert_array_equal(np.asarray(sm_a.mean), np.asarray(sm_b.mean))
+    np.testing.assert_array_equal(
+        np.asarray(sm_a.inv_std), np.asarray(sm_b.inv_std)
+    )
