@@ -502,14 +502,18 @@ class PreparedData:
 
         from genomic_pca_tpu.parallel.sharded import ShardedMatrix
 
+        # Packed residency applies with OR without a keep-list: raw BED
+        # bytes upload verbatim for the full sample set, and keep-list
+        # survivors repack to 2-bit on the host.  The int8 estimate only
+        # applies when the capture fusion will assemble int8 batches.
         packed_ok = (
             self.config.packed_pipeline
             and len(self.qc_sample_indices) == self.bed.n_samples
         )
-        if packed_ok:  # 2-bit resident: 4x the capacity of int8
-            resident_bytes = self.n_pca_snps * (
-                -(-max(-(-self.n_samples // 4), 1) // 128) * 128
-            )
+        if self.config.packed_pipeline and (
+            self.qc_capture is None or self.qc_capture.packed
+        ):  # 2-bit resident: 4x the capacity of int8
+            resident_bytes = self.n_pca_snps * _packed_cols(self.n_samples)
         else:
             n_pad = -(-self.n_samples // 128) * 128
             resident_bytes = self.n_pca_snps * n_pad
@@ -530,18 +534,25 @@ class PreparedData:
                     return sm
             self.qc_capture = None  # non-canonical mesh: release batches
 
-            if packed_ok:
-                # Each process uploads only its own survivors as raw
-                # 2-bit bytes — 4x less per-host transfer than int8.
+            if self.config.packed_pipeline:
+                # Each process uploads only its own survivors as 2-bit
+                # bytes — 4x less per-host transfer than int8.  Full
+                # sample set: raw BED bytes verbatim; keep-list: decode
+                # the kept columns and re-pack on the host.
                 from genomic_pca_tpu.parallel.sharded import (
-                    sanitize_partial_byte,
+                    pack_int8_rows, sanitize_partial_byte,
                 )
 
                 def read_packed_rows(lo: int, hi: int):
                     orig = self.pca_snp_orig_indices[lo:hi]
-                    raw = sanitize_partial_byte(
-                        self.bed.read_packed(orig), self.n_samples
-                    )
+                    if packed_ok:
+                        raw = sanitize_partial_byte(
+                            self.bed.read_packed(orig), self.n_samples
+                        )
+                    else:
+                        dec = self.bed.read(orig, self.qc_sample_indices)
+                        self._check_missing_policy(dec)
+                        raw = pack_int8_rows(dec)
                     return raw, self.mean[lo:hi], self.std[lo:hi]
 
                 sm = ShardedMatrix.from_local_rows(
@@ -629,6 +640,41 @@ class PreparedData:
                     "semantics, prepare.rs:1906-1911)."
                 )
             return sm
+
+        if self.config.packed_pipeline and self.n_pca_snps > 0:
+            # Keep-list repack: decode the kept columns per strip and
+            # re-pack to 2-bit on the host — the device pipeline stays
+            # packed (4x less upload and HBM) even under sample
+            # subsetting, which raw BED bytes cannot express.
+            from genomic_pca_tpu.parallel.sharded import pack_int8_rows
+
+            idx = self.pca_snp_orig_indices
+            sel = self.qc_sample_indices
+
+            def read_strip_repack(lo: int, hi: int) -> np.ndarray:
+                raw = self.bed.read(idx[lo:hi], sel)
+                self._check_missing_policy(raw)
+                return pack_int8_rows(raw)
+
+            if 2 * resident_bytes <= 0.85 * budget:
+                return ShardedMatrix.from_packed_strips(
+                    read_strip_repack,
+                    n_rows=self.n_pca_snps,
+                    mean=self.mean,
+                    std=self.std,
+                    n_samples=self.n_samples,
+                    mesh=mesh,
+                )
+            packed_all = np.empty(
+                (self.n_pca_snps, -(-self.n_samples // 4)), dtype=np.uint8
+            )
+            step = max(strip_size, 8192)
+            for lo in range(0, self.n_pca_snps, step):
+                hi = min(lo + step, self.n_pca_snps)
+                packed_all[lo:hi] = read_strip_repack(lo, hi)
+            return ShardedMatrix.from_packed_rows(
+                packed_all, self.mean, self.std, self.n_samples, mesh=mesh
+            )
 
         gen, means, stds = self._strip_gen(strip_size)
         return ShardedMatrix.from_arrays(
@@ -807,19 +853,24 @@ def _qc_snp_range_hostscan(
     n_qc: int,
     lo: int,
     hi: int,
+    sample_sel: Optional[np.ndarray] = None,
 ):
-    """Host-side packed SNP-QC scan over BIM rows [lo, hi).
+    """Host-side SNP-QC scan over BIM rows [lo, hi).
 
-    Counts the 2-bit genotype codes straight off the mmap'd BED bytes
-    (native SWAR popcounts via plinkio_packed_qc_counts, numpy LUT
-    fallback) — no device upload, no decode.  The integer counts are
-    identical to the device reduction's, so keep/mean/std are
-    bit-identical to the device scan; the post-QC matrix then uploads
-    exactly once in load_matrix (the minimum possible link traffic).
-    Full-sample-set (packed) datasets only.
+    Full sample set: counts the 2-bit genotype codes straight off the
+    mmap'd BED bytes (native SWAR popcounts via plinkio_packed_qc_counts,
+    numpy LUT fallback) — no device upload, no decode.  With a sample
+    keep-list (`sample_sel`): decodes each chunk (native threaded) and
+    counts the int8 dosages of the kept columns.  The integer counts
+    are identical to the device reduction's either way, so keep/mean/std
+    are bit-identical to the device scan; the post-QC matrix then
+    uploads exactly once in load_matrix (the minimum possible link
+    traffic).
     """
     from genomic_pca_tpu.io.native import packed_qc_counts_native
-    from genomic_pca_tpu.ops.qc import genotype_counts_packed_host
+    from genomic_pca_tpu.ops.qc import (
+        genotype_counts_int8_host, genotype_counts_packed_host,
+    )
 
     # Filtering runs PER CHUNK (like the device path runs per batch):
     # one whole-range pass would allocate ~15 fresh 80 MB temporaries at
@@ -827,7 +878,13 @@ def _qc_snp_range_hostscan(
     # on slow-page-fault hosts the fault cost dwarfed the arithmetic
     # (measured 57-143 s vs 17 s with reused buffers).  Chunk-sized
     # temporaries get recycled by the allocator across iterations.
+    # Subset scans decode int8, so bound the chunk by decoded bytes.
     chunk_rows = 262_144
+    if sample_sel is not None:
+        chunk_rows = max(
+            config.snp_chunk_size,
+            min(chunk_rows, (256 << 20) // max(n_qc, 1)),
+        )
     n_chunks = max(1, -(-(hi - lo) // chunk_rows))
     keeps: List[np.ndarray] = []
     means: List[np.ndarray] = []
@@ -835,12 +892,21 @@ def _qc_snp_range_hostscan(
     for ci, start in enumerate(range(lo, hi, chunk_rows)):
         end = min(start + chunk_rows, hi)
         try:
-            offs = 3 + np.arange(start, end, dtype=np.int64) * bed._bytes_per_snp
-            counts = packed_qc_counts_native(bed._mmap, offs, bed.n_samples)
-            if counts is None:
-                counts = genotype_counts_packed_host(
-                    bed.read_packed(slice(start, end)), bed.n_samples
+            if sample_sel is not None:
+                counts = genotype_counts_int8_host(
+                    bed.read(slice(start, end), sample_sel)
                 )
+            else:
+                offs = (
+                    3 + np.arange(start, end, dtype=np.int64) * bed._bytes_per_snp
+                )
+                counts = packed_qc_counts_native(
+                    bed._mmap, offs, bed.n_samples
+                )
+                if counts is None:
+                    counts = genotype_counts_packed_host(
+                        bed.read_packed(slice(start, end)), bed.n_samples
+                    )
         except (OSError, ValueError) as e:
             # Chunk failures are logged and skipped (SNPs excluded),
             # mirroring the reference's QC path (prepare.rs:1380-1398).
@@ -952,15 +1018,15 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
             "Distributed SNP QC: process %d/%d scans rows [%d, %d).",
             jax.process_index(), n_proc, lo, hi,
         )
-        if packed and config.qc_mode == "host":
+        if config.qc_mode == "host":
             # Forced host scan: each process counts its range off its
             # own mmap; load_matrix then uploads only its survivors as
             # packed bytes (from_local_rows packed=True).  "auto" keeps
             # the device scan + capture fusion multi-process (capture
             # avoids the post-QC BED re-read on each host).
-            log.info("SNP QC: host-side packed scan (qc_mode=host).")
+            log.info("SNP QC: host-side scan (qc_mode=host).")
             keep_l, mean_l, std_l = _qc_snp_range_hostscan(
-                bed, config, n_qc, lo, hi
+                bed, config, n_qc, lo, hi, sample_sel=sample_sel
             )
         else:
             # Fused capture engages only when EVERY process's pre-QC
@@ -983,14 +1049,18 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         keep, mean_all, std_all = _allgather_qc(
             keep_l, mean_l, std_l, scan_ranges
         )
-    elif packed and config.qc_mode in ("auto", "host"):
-        # Host-side packed scan: nothing uploads during QC; the post-QC
-        # matrix uploads exactly once in load_matrix.  Strictly less
-        # link traffic than any device-scan variant (capture ships the
-        # pre-QC block; no-capture ships pre-QC AND survivors).
-        log.info("SNP QC: host-side packed scan (qc_mode=%s).", config.qc_mode)
+    elif config.qc_mode in ("auto", "host"):
+        # Host-side scan: nothing uploads during QC; the post-QC matrix
+        # uploads exactly once in load_matrix (packed either way — the
+        # keep-list case repacks decoded survivors to 2-bit).  Strictly
+        # less link traffic than any device-scan variant (capture ships
+        # the pre-QC block; no-capture ships pre-QC AND survivors).
+        log.info(
+            "SNP QC: host-side %s scan (qc_mode=%s).",
+            "packed" if packed else "decoded-subset", config.qc_mode,
+        )
         keep, mean_all, std_all = _qc_snp_range_hostscan(
-            bed, config, n_qc, 0, bed.n_snps
+            bed, config, n_qc, 0, bed.n_snps, sample_sel=sample_sel
         )
     else:
         # QC->matrix fusion: retain the scan's device uploads when the

@@ -111,6 +111,17 @@ def genotype_counts_packed_host(
     return np.stack([n0, n1, n2, nv], axis=1).astype(np.int32)
 
 
+def genotype_counts_int8_host(raw: np.ndarray) -> np.ndarray:
+    """Host (numpy) analog of `genotype_counts` for int8 dosage rows:
+    (rows, 4) int32 (n0, n1, n2, n_valid), identical integers to the
+    device reduction.  Any value outside {0,1,2} counts as missing."""
+    raw = np.asarray(raw, dtype=np.int8)
+    n0 = (raw == 0).sum(axis=1, dtype=np.int64)
+    n1 = (raw == 1).sum(axis=1, dtype=np.int64)
+    n2 = (raw == 2).sum(axis=1, dtype=np.int64)
+    return np.stack([n0, n1, n2, n0 + n1 + n2], axis=1).astype(np.int32)
+
+
 @dataclasses.dataclass
 class QcResult:
     """Per-strip QC outcome: survivor mask plus standardization moments."""

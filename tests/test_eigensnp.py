@@ -296,3 +296,39 @@ def test_qc_mode_host_bitidentical_to_device(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(sm_h.inv_std), np.asarray(sm_d.inv_std)
     )
+
+
+def test_keep_list_packed_repack_matches_int8(tmp_path, rng):
+    """With a sample keep-list, the default path host-QCs decoded
+    columns and repacks survivors to 2-bit; decisions must equal the
+    device scan's and the repacked matrix must standardize identically
+    to the int8 matrix."""
+    import dataclasses
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=400, n_samples=50)
+    keep = tmp_path / "keep.txt"
+    keep.write_text("".join(f"sample{i}\n" for i in range(0, 50, 2)))
+    cfg = dataclasses.replace(cfg, sample_keep_path=str(keep))
+
+    prep_h = prepare_data(cfg)  # auto -> host decoded-subset scan
+    prep_d = prepare_data(
+        dataclasses.replace(cfg, qc_mode="device", packed_pipeline=False)
+    )
+    np.testing.assert_array_equal(
+        prep_h.pca_snp_orig_indices, prep_d.pca_snp_orig_indices
+    )
+    np.testing.assert_array_equal(prep_h.mean, prep_d.mean)
+    np.testing.assert_array_equal(prep_h.std, prep_d.std)
+
+    sm_h, sm_d = prep_h.load_matrix(), prep_d.load_matrix()
+    assert sm_h.packed and not sm_d.packed
+    # same standardized operator: A^T A B must agree (both f32 XLA on
+    # CPU; only the reduction order differs between the layouts)
+    import jax.numpy as jnp
+
+    b0 = jnp.asarray(
+        rng.standard_normal((prep_h.n_samples, 4)), dtype=jnp.float32
+    )
+    a = np.asarray(sm_h.gram_apply(b0))
+    b = np.asarray(sm_d.gram_apply(b0))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)

@@ -155,3 +155,15 @@ def test_packed_host_counts_match_device(rng):
         # and against the int8 truth
         n0, n1, n2, nv = (np.asarray(a) for a in genotype_counts(jnp.asarray(g)))
         np.testing.assert_array_equal(host, np.stack([n0, n1, n2, nv], axis=1))
+
+
+def test_int8_host_counts_match_device(rng):
+    from genomic_pca_tpu.ops.qc import genotype_counts_int8_host
+
+    g = rng.integers(0, 3, size=(200, 61)).astype(np.int8)
+    g[rng.random(g.shape) < 0.1] = -127
+    host = genotype_counts_int8_host(g)
+    dev = np.stack(
+        [np.asarray(a) for a in genotype_counts(jnp.asarray(g))], axis=1
+    )
+    np.testing.assert_array_equal(host, dev)
