@@ -43,6 +43,24 @@ def normalize_chromosome_name(name: str) -> str:
     return name
 
 
+def _factorize_strings(arr: np.ndarray):
+    """(codes int64, uniques list) in first-appearance order, O(n) hash."""
+    try:
+        import pandas as pd
+
+        codes, uniques = pd.factorize(arr)
+        return np.asarray(codes, dtype=np.int64), list(uniques)
+    except ImportError:  # pragma: no cover - pandas is in the image
+        table: Dict[str, int] = {}
+        codes = np.empty(len(arr), dtype=np.int64)
+        for i, v in enumerate(arr):
+            codes[i] = table.setdefault(v, len(table))
+        uniq = [None] * len(table)
+        for v, k in table.items():
+            uniq[k] = v
+        return codes, uniq
+
+
 def parse_ld_block_file(path: str) -> List[Tuple[str, int, int, str]]:
     """Returns [(normalized_chr, start, end, auto_tag)] in file order."""
     blocks: List[Tuple[str, int, int, str]] = []
@@ -91,15 +109,23 @@ def assign_first_containing_block(
     vectorized: per chromosome, walk blocks in file order and claim
     still-unassigned SNPs whose position falls inside (inclusive)."""
     positions = np.asarray(snp_positions, dtype=np.int64)
-    norm_chroms = np.array(
-        [normalize_chromosome_name(str(c)) for c in snp_chroms], dtype=object
-    )
+    # Normalize per UNIQUE chromosome name (a handful) instead of per
+    # SNP — the per-SNP Python loop cost ~6 s at 4.35M rows.  Hash-based
+    # factorization: np.unique would SORT millions of strings.
+    raw_chroms = np.asarray(snp_chroms, dtype=object)
+    inv, uniq = _factorize_strings(raw_chroms)
+    uniq_norm = [normalize_chromosome_name(str(u)) for u in uniq]
     n = len(positions)
     assignment = np.full(n, -1, dtype=np.int64)  # index into parsed_blocks
 
     snp_idx_by_chrom: Dict[str, np.ndarray] = {}
-    for chrom in set(norm_chroms.tolist()):
-        snp_idx_by_chrom[chrom] = np.nonzero(norm_chroms == chrom)[0]
+    for k, chrom in enumerate(uniq_norm):
+        idx_k = np.nonzero(inv == k)[0]
+        prev = snp_idx_by_chrom.get(chrom)
+        # distinct raw spellings can normalize to one chromosome
+        snp_idx_by_chrom[chrom] = (
+            idx_k if prev is None else np.sort(np.concatenate([prev, idx_k]))
+        )
 
     blocks_by_chrom: Dict[str, List[int]] = {}
     for b_idx, (chrom, _s, _e, _t) in enumerate(parsed_blocks):
@@ -214,11 +240,21 @@ def map_snps_to_blocks(
     pca_id_of_input = np.full(n, -1, dtype=np.int64)
     pca_id_of_input[masked_idx[order]] = np.arange(len(order), dtype=np.int64)
 
+    # Group SNPs by assigned block via one sort instead of one
+    # full-array equality scan per block (O(blocks x SNPs) cost ~6 s at
+    # 4.35M SNPs x 1,361 blocks).
+    a_masked = assignment[masked_idx]
+    grp = np.argsort(a_masked, kind="stable")
+    a_sorted = a_masked[grp]
+    ids_sorted = pca_id_of_input[masked_idx[grp]]
+    uniq_b, starts_b = np.unique(a_sorted, return_index=True)
+    bounds = np.append(starts_b, len(a_sorted))
     tag_to_ids: Dict[str, List[np.ndarray]] = {}
-    for b_idx, (_c, _s, _e, tag) in enumerate(parsed_blocks):
-        ids = pca_id_of_input[assignment == b_idx]
-        if len(ids):
-            tag_to_ids.setdefault(tag, []).append(ids)
+    for k, b_idx in enumerate(uniq_b):
+        tag = parsed_blocks[int(b_idx)][3]
+        tag_to_ids.setdefault(tag, []).append(
+            ids_sorted[bounds[k] : bounds[k + 1]]
+        )
 
     specs = [
         LdBlockSpec(
