@@ -10,8 +10,10 @@ from __future__ import annotations
 import json
 import logging
 
-import jax
 from typing import Optional
+
+import jax
+import numpy as np
 
 
 from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
@@ -59,7 +61,49 @@ def run_vcf_workflow(
         )
 
     with timer.stage("Matrix assembly (device strips)"):
-        matrix = ShardedMatrix.from_arrays(strips, center_only=True)
+        if jax.process_count() == 1:
+            # Pack dosages to the 2-bit device format (4x less upload
+            # and HBM; VCF mode drops any variant with a missing GT, so
+            # the codes are always clean).  Moments mirror from_arrays:
+            # exact integer histograms, center-without-scale
+            # (tests/pca.py:109 semantics).
+            from genomic_pca_tpu.parallel.sharded import pack_int8_rows
+
+            n_samples = len(sample_names)
+            packed_parts: list = []
+            mean_parts: list = []
+            for g in strips:
+                g = np.asarray(g, dtype=np.int8)
+                n1 = (g == 1).sum(axis=1, dtype=np.int64)
+                n2 = (g == 2).sum(axis=1, dtype=np.int64)
+                nv = n1 + n2 + (g == 0).sum(axis=1, dtype=np.int64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    m = np.where(
+                        nv > 0, (n1 + 2.0 * n2) / np.maximum(nv, 1), 0.0
+                    )
+                mean_parts.append(m.astype(np.float32))
+                packed_parts.append(pack_int8_rows(g))
+            bps = max(-(-n_samples // 4), 1)
+            packed_all = (
+                np.concatenate(packed_parts)
+                if packed_parts
+                else np.zeros((0, bps), dtype=np.uint8)
+            )
+            means = (
+                np.concatenate(mean_parts)
+                if mean_parts
+                else np.zeros(0, dtype=np.float32)
+            )
+            matrix = ShardedMatrix.from_packed_strips(
+                lambda lo, hi: packed_all[lo:hi],
+                n_rows=packed_all.shape[0],
+                mean=means,
+                std=np.ones_like(means),
+                n_samples=n_samples,
+            )
+        else:
+            # Multi-process SPMD: the replicated-host from_arrays pack.
+            matrix = ShardedMatrix.from_arrays(strips, center_only=True)
     log.info(
         "Assembled %d variants x %d samples (padded to %d x %d, %d-way sharded).",
         matrix.n_rows,
