@@ -58,17 +58,19 @@ class DataPrepConfig:
     # single-process when the pre-QC block fits comfortably in device
     # memory; otherwise the scan stays streaming (no behavior change).
     fuse_qc_matrix: bool = True
-    # Where the QC genotype histograms are computed.  "host" counts the
-    # 2-bit codes straight off the mmap'd BED bytes (native SWAR
-    # popcounts, numpy fallback) so NOTHING uploads to the device until
-    # the post-QC matrix — the minimum possible host->device traffic
-    # (the pre-QC block is 1.4-3x larger than the survivors).  "device"
-    # uploads pre-QC batches and reduces on the accelerator (required
-    # for the fused QC->matrix capture).  "auto" = host for the
-    # single-process packed pipeline, device otherwise (multi-process
-    # keeps the LD-aligned capture fusion; sample keep-lists need the
-    # int8 path).  Counts are exact integers either way, so QC
-    # decisions are bit-identical across modes.
+    # Where the QC genotype histograms are computed.  "host" counts on
+    # the host — straight off the mmap'd BED bytes (native SWAR
+    # popcounts, numpy fallback) for the full sample set, or on decoded
+    # kept columns under a keep-list — so NOTHING uploads to the device
+    # until the post-QC matrix: the minimum possible host->device
+    # traffic (the pre-QC block is 1.4-3x larger than the survivors).
+    # "device" uploads pre-QC batches and reduces on the accelerator
+    # (required for the fused QC->matrix capture).  "auto" = host scan
+    # for single-process runs with the packed pipeline (with or without
+    # a keep-list), device otherwise (multi-process keeps the
+    # LD-aligned capture fusion; packed_pipeline=False keeps the int8
+    # capture).  Counts are exact integers either way, so QC decisions
+    # are bit-identical across modes.
     qc_mode: str = "auto"  # "auto" | "host" | "device"
 
 

@@ -76,6 +76,13 @@ def _packed_cols(n_samples: int) -> int:
     return packed_cols(n_samples)
 
 
+def _decode_bounded_rows(n_cohort_samples: int, target_bytes: int = 256 << 20) -> int:
+    """Rows per decode chunk so the FULL-cohort-width int8 intermediate
+    that BedReader.read materializes (before any column subsetting)
+    stays near `target_bytes`."""
+    return max(1024, min(262_144, target_bytes // max(n_cohort_samples, 1)))
+
+
 @dataclasses.dataclass
 class QcCapture:
     """Device-resident genotype batches retained by the QC scan.
@@ -539,20 +546,30 @@ class PreparedData:
                 # bytes — 4x less per-host transfer than int8.  Full
                 # sample set: raw BED bytes verbatim; keep-list: decode
                 # the kept columns and re-pack on the host.
-                from genomic_pca_tpu.parallel.sharded import (
-                    pack_int8_rows, sanitize_partial_byte,
-                )
+                from genomic_pca_tpu.parallel.sharded import pack_int8_rows
+
+                decode_step = _decode_bounded_rows(self.bed.n_samples)
 
                 def read_packed_rows(lo: int, hi: int):
                     orig = self.pca_snp_orig_indices[lo:hi]
                     if packed_ok:
-                        raw = sanitize_partial_byte(
-                            self.bed.read_packed(orig), self.n_samples
-                        )
+                        # from_local_rows(packed=True) sanitizes.
+                        raw = self.bed.read_packed(orig)
                     else:
-                        dec = self.bed.read(orig, self.qc_sample_indices)
-                        self._check_missing_policy(dec)
-                        raw = pack_int8_rows(dec)
+                        # Chunk the full-cohort-width decode; repack.
+                        parts = []
+                        for s in range(0, len(orig), decode_step):
+                            dec = self.bed.read(
+                                orig[s : s + decode_step],
+                                self.qc_sample_indices,
+                            )
+                            self._check_missing_policy(dec)
+                            parts.append(pack_int8_rows(dec))
+                        raw = (
+                            parts[0]
+                            if len(parts) == 1
+                            else np.concatenate(parts)
+                        )
                     return raw, self.mean[lo:hi], self.std[lo:hi]
 
                 sm = ShardedMatrix.from_local_rows(
@@ -608,15 +625,11 @@ class PreparedData:
                 sanitize_partial_byte,
             )
 
-            bps = self.bed._bytes_per_snp
-            body = self.bed._mmap[
-                3 : 3 + self.bed.n_snps * bps
-            ].reshape(self.bed.n_snps, bps)
             idx = self.pca_snp_orig_indices
 
             def read_strip(lo: int, hi: int) -> np.ndarray:
                 return sanitize_partial_byte(
-                    body[idx[lo:hi]], self.n_samples
+                    self.bed.read_packed(idx[lo:hi]), self.n_samples
                 )
 
             if 2 * resident_bytes <= 0.85 * budget:
@@ -650,11 +663,19 @@ class PreparedData:
 
             idx = self.pca_snp_orig_indices
             sel = self.qc_sample_indices
+            # bed.read decodes the FULL cohort width before column
+            # subsetting, so bound strips by decoded bytes (the device
+            # budget gate says nothing about this host intermediate).
+            decode_step = _decode_bounded_rows(self.bed.n_samples)
 
             def read_strip_repack(lo: int, hi: int) -> np.ndarray:
-                raw = self.bed.read(idx[lo:hi], sel)
-                self._check_missing_policy(raw)
-                return pack_int8_rows(raw)
+                parts = []
+                for s in range(lo, hi, decode_step):
+                    e = min(s + decode_step, hi)
+                    raw = self.bed.read(idx[s:e], sel)
+                    self._check_missing_policy(raw)
+                    parts.append(pack_int8_rows(raw))
+                return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
             if 2 * resident_bytes <= 0.85 * budget:
                 return ShardedMatrix.from_packed_strips(
@@ -878,13 +899,11 @@ def _qc_snp_range_hostscan(
     # on slow-page-fault hosts the fault cost dwarfed the arithmetic
     # (measured 57-143 s vs 17 s with reused buffers).  Chunk-sized
     # temporaries get recycled by the allocator across iterations.
-    # Subset scans decode int8, so bound the chunk by decoded bytes.
+    # Subset scans decode int8 at FULL cohort width (bed.read subsets
+    # columns only after decoding), so bound the chunk by those bytes.
     chunk_rows = 262_144
     if sample_sel is not None:
-        chunk_rows = max(
-            config.snp_chunk_size,
-            min(chunk_rows, (256 << 20) // max(n_qc, 1)),
-        )
+        chunk_rows = _decode_bounded_rows(bed.n_samples)
     n_chunks = max(1, -(-(hi - lo) // chunk_rows))
     keeps: List[np.ndarray] = []
     means: List[np.ndarray] = []
@@ -989,6 +1008,11 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
     slices.  Decisions are exact integer-histogram QC either way, so the
     distributed scan is bit-identical to the serial one.
     """
+    if config.qc_mode not in ("auto", "host", "device"):
+        raise DataPrepError(
+            f"qc_mode must be 'auto', 'host', or 'device', "
+            f"got {config.qc_mode!r}"
+        )
     bed = BedReader(config.bed_path)
     qc_samples = perform_sample_qc(bed, config.sample_keep_path)
     n_qc = len(qc_samples)
@@ -1049,12 +1073,16 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
         keep, mean_all, std_all = _allgather_qc(
             keep_l, mean_l, std_l, scan_ranges
         )
-    elif config.qc_mode in ("auto", "host"):
+    elif config.qc_mode == "host" or (
+        config.qc_mode == "auto" and config.packed_pipeline
+    ):
         # Host-side scan: nothing uploads during QC; the post-QC matrix
         # uploads exactly once in load_matrix (packed either way — the
         # keep-list case repacks decoded survivors to 2-bit).  Strictly
         # less link traffic than any device-scan variant (capture ships
         # the pre-QC block; no-capture ships pre-QC AND survivors).
+        # With packed_pipeline=False the matrix stays int8, so "auto"
+        # keeps the device scan + capture fusion there (one decode).
         log.info(
             "SNP QC: host-side %s scan (qc_mode=%s).",
             "packed" if packed else "decoded-subset", config.qc_mode,

@@ -111,6 +111,17 @@ def genotype_counts_packed_host(
     return np.stack([n0, n1, n2, nv], axis=1).astype(np.int32)
 
 
+def dosage_mean_from_counts(counts: np.ndarray) -> np.ndarray:
+    """Exact per-SNP dosage mean over valid entries from (rows, 4)
+    integer counts (n0, n1, n2, n_valid) — THE moment formula every
+    packing/assembly site must share so host/device paths stay
+    bit-identical."""
+    nv = counts[:, 3].astype(np.int64)
+    ds = counts[:, 1].astype(np.int64) + 2 * counts[:, 2].astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(nv > 0, ds / np.maximum(nv, 1), 0.0)
+
+
 def genotype_counts_int8_host(raw: np.ndarray) -> np.ndarray:
     """Host (numpy) analog of `genotype_counts` for int8 dosage rows:
     (rows, 4) int32 (n0, n1, n2, n_valid), identical integers to the

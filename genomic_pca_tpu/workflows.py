@@ -67,6 +67,9 @@ def run_vcf_workflow(
             # the codes are always clean).  Moments mirror from_arrays:
             # exact integer histograms, center-without-scale
             # (tests/pca.py:109 semantics).
+            from genomic_pca_tpu.ops.qc import (
+                dosage_mean_from_counts, genotype_counts_int8_host,
+            )
             from genomic_pca_tpu.parallel.sharded import pack_int8_rows
 
             n_samples = len(sample_names)
@@ -74,13 +77,7 @@ def run_vcf_workflow(
             mean_parts: list = []
             for g in strips:
                 g = np.asarray(g, dtype=np.int8)
-                n1 = (g == 1).sum(axis=1, dtype=np.int64)
-                n2 = (g == 2).sum(axis=1, dtype=np.int64)
-                nv = n1 + n2 + (g == 0).sum(axis=1, dtype=np.int64)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    m = np.where(
-                        nv > 0, (n1 + 2.0 * n2) / np.maximum(nv, 1), 0.0
-                    )
+                m = dosage_mean_from_counts(genotype_counts_int8_host(g))
                 mean_parts.append(m.astype(np.float32))
                 packed_parts.append(pack_int8_rows(g))
             bps = max(-(-n_samples // 4), 1)
