@@ -135,6 +135,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.perf_counter()
 
     threads = args.threads if args.threads is not None else (os.cpu_count() or 1)
+    # -t also budgets the native decode/QC/inflate helpers (reference
+    # semantics: one knob for all parallel operations, main.rs:103-106).
+    from genomic_pca_tpu.io.native import set_default_threads
+
+    set_default_threads(args.threads)
 
     # Conditional requiredness (main.rs:519-540).
     if args.eigensnp:

@@ -25,6 +25,24 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+# Process-wide thread budget for the native helpers, set from the CLI's
+# -t/--threads flag (reference semantics: one knob for all parallel
+# operations, main.rs:103-106).  None = auto (all CPUs, capped).
+_default_threads: Optional[int] = None
+
+
+def set_default_threads(n: Optional[int]) -> None:
+    global _default_threads
+    _default_threads = n if n and n > 0 else None
+
+
+def _resolve_threads(n_threads: int) -> int:
+    if n_threads > 0:
+        return n_threads
+    if _default_threads is not None:
+        return _default_threads
+    return min(os.cpu_count() or 1, 16)
+
 
 # Must match plinkio_abi_version() in native/plinkio.cpp.
 _ABI_VERSION = 3
@@ -148,8 +166,7 @@ def decode_bed_native(
     n_rows = len(snp_offsets)
     out = np.empty((n_rows, n_samples), dtype=np.int8)
     offsets = np.ascontiguousarray(snp_offsets, dtype=np.int64)
-    if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 16)
+    n_threads = _resolve_threads(n_threads)
     lib.plinkio_decode_bed(
         packed.ctypes.data,
         offsets.ctypes.data,
@@ -178,8 +195,7 @@ def packed_qc_counts_native(
     n_rows = len(snp_offsets)
     out = np.empty((n_rows, 4), dtype=np.int32)
     offsets = np.ascontiguousarray(snp_offsets, dtype=np.int64)
-    if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 16)
+    n_threads = _resolve_threads(n_threads)
     lib.plinkio_packed_qc_counts(
         packed.ctypes.data,
         offsets.ctypes.data,
@@ -199,8 +215,7 @@ def parse_vcf_lines_native(
     lib = get_lib()
     if lib is None:
         return None
-    if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 16)
+    n_threads = _resolve_threads(n_threads)
     max_lines = buf.count(b"\n") + 1
     dosages = np.empty((max_lines, n_samples), dtype=np.int8)
     keep = np.zeros(max_lines, dtype=np.uint8)
@@ -270,8 +285,7 @@ def bgzf_inflate_native(
         np.cumsum(usizes[:-1], out=out_offsets[1:])
     total = int(out_offsets[-1] + usizes[-1]) if n_blocks else 0
     out = np.empty(total, dtype=np.uint8)
-    if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 16)
+    n_threads = _resolve_threads(n_threads)
     rc = lib.plinkio_bgzf_inflate(
         buf,
         np.ascontiguousarray(offsets, dtype=np.int64).ctypes.data,

@@ -164,3 +164,16 @@ def test_packed_qc_counts_native_matches_numpy(tmp_path, rng):
     # threading invariance
     got1 = packed_qc_counts_native(bed._mmap, offs, n_samples, n_threads=1)
     np.testing.assert_array_equal(got, got1)
+
+
+def test_thread_budget_plumbing():
+    from genomic_pca_tpu.io import native as nm
+
+    try:
+        nm.set_default_threads(3)
+        assert nm._resolve_threads(0) == 3
+        assert nm._resolve_threads(5) == 5
+        nm.set_default_threads(None)
+        assert nm._resolve_threads(0) >= 1
+    finally:
+        nm.set_default_threads(None)
