@@ -163,7 +163,14 @@ def _stages12_device(
     budget_elems = 256 * 1024 * 1024
     bases: Dict[int, np.ndarray] = {}
     svals: Dict[int, np.ndarray] = {}
-    condensed: Dict[int, jax.Array] = {}
+    # All device work enqueues asynchronously; NOTHING is fetched inside
+    # the loop (a mid-loop np.asarray is a ~1 s round trip on relayed
+    # backends, and two per chunk serialized the whole stage: 1,361
+    # genome-wide blocks cost ~20 s of pure fetch latency).  Bases and
+    # singular values come back in ONE flattened transfer each at the
+    # end, and the condensed matrix is assembled on device with a single
+    # permutation gather.
+    parts: List[tuple] = []  # (chunk, c_b, u_dev, s_dev, out_dev)
     for (bucket, c_b), idxs in sorted(groups.items()):
         b_cap = max(1, budget_elems // (bucket * a.n_pad))
         chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
@@ -175,10 +182,13 @@ def _stages12_device(
             starts[: len(chunk)] = runs[chunk, 0]
             lens[: len(chunk)] = runs[chunk, 1]
             xs_full = a.fetch_blocks_device(starts, lens, bucket, None)
+            s_batch = None
             if saved_bases is not None:
                 us = [saved_bases[i] for i in chunk]
                 us += [np.zeros_like(us[0])] * (chunk_b - len(chunk))
                 u_batch = jnp.asarray(np.stack(us))
+                for j, i in enumerate(chunk):
+                    bases[i] = us[j]
             else:
                 xs_sub = (
                     xs_full[:, :, :n]
@@ -188,18 +198,52 @@ def _stages12_device(
                 u_batch, s_batch, _ = fn(
                     xs_sub, _stage_keys(cfg, chunk, chunk_b)
                 )
-                s_np = np.asarray(s_batch)
-                for j, i in enumerate(chunk):
-                    svals[i] = s_np[j]
             out = _project_blocks_batched(u_batch, xs_full)  # (B, c_b, N_pad)
-            u_np = np.asarray(u_batch)
+            parts.append((list(chunk), c_b, u_batch, s_batch, out))
+
+    if saved_bases is None:
+        # One transfer for every base, one for every singular value.
+        u_flat = np.asarray(
+            jnp.concatenate([p[2].reshape(-1) for p in parts])
+        )
+        s_flat = np.asarray(
+            jnp.concatenate([p[3].reshape(-1) for p in parts])
+        )
+        u_ofs = s_ofs = 0
+        for chunk, c_b, u_dev, s_dev, _out in parts:
+            u_np = u_flat[u_ofs : u_ofs + u_dev.size].reshape(u_dev.shape)
+            s_np = s_flat[s_ofs : s_ofs + s_dev.size].reshape(s_dev.shape)
+            u_ofs += u_dev.size
+            s_ofs += s_dev.size
             for j, i in enumerate(chunk):
                 bases[i] = u_np[j]
-                condensed[i] = out[j, :, :n]
-    local_bases = [bases[i] for i in range(len(prep.blocks))]
-    y = jnp.concatenate(
-        [condensed[i] for i in range(len(prep.blocks))], axis=0
+                svals[i] = s_np[j]
+
+    # Condensed matrix: trim batch padding per part, concatenate, then
+    # reorder rows to block order with one gather.
+    y_cat = jnp.concatenate(
+        [
+            out[: len(chunk)].reshape(len(chunk) * c_b, -1)[:, :n]
+            for chunk, c_b, _u, _s, out in parts
+        ],
+        axis=0,
     )
+    row_start: Dict[int, int] = {}
+    row_cnt: Dict[int, int] = {}
+    cursor = 0
+    for chunk, c_b, _u, _s, _out in parts:
+        for i in chunk:
+            row_start[i] = cursor
+            row_cnt[i] = c_b
+            cursor += c_b
+    perm = np.concatenate(
+        [
+            np.arange(row_start[i], row_start[i] + row_cnt[i], dtype=np.int32)
+            for i in range(len(prep.blocks))
+        ]
+    )
+    y = jnp.take(y_cat, jnp.asarray(perm), axis=0)
+    local_bases = [bases[i] for i in range(len(prep.blocks))]
     return local_bases, (svals if saved_bases is None else None), y
 
 
