@@ -267,6 +267,10 @@ def _stages12_host(
     results: Dict[int, np.ndarray] = {}
     svals: Dict[int, np.ndarray] = {}
     if saved_bases is None:
+        # Device results are NOT fetched inside the loop (each fetch is
+        # a ~1 s round trip on relayed backends); they come back in one
+        # flattened transfer each after all chunks are enqueued.
+        parts: List[tuple] = []  # (chunk, u_dev, s_dev)
         for (bucket, c_b), idxs in sorted(groups.items()):
             b_cap = max(1, budget_elems // (bucket * max(len(subset), 1)))
             chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
@@ -286,11 +290,18 @@ def _stages12_host(
                 u_batch, s_batch, _ = fn(
                     jnp.asarray(np.stack(xs)), _stage_keys(cfg, chunk, chunk_b)
                 )
-                u_batch = np.asarray(u_batch)
-                s_batch = np.asarray(s_batch)
-                for j, i in enumerate(chunk):
-                    results[i] = u_batch[j]
-                    svals[i] = s_batch[j]
+                parts.append((list(chunk), u_batch, s_batch))
+        u_flat = np.asarray(jnp.concatenate([p[1].reshape(-1) for p in parts]))
+        s_flat = np.asarray(jnp.concatenate([p[2].reshape(-1) for p in parts]))
+        u_ofs = s_ofs = 0
+        for chunk, u_dev, s_dev in parts:
+            u_np = u_flat[u_ofs : u_ofs + u_dev.size].reshape(u_dev.shape)
+            s_np = s_flat[s_ofs : s_ofs + s_dev.size].reshape(s_dev.shape)
+            u_ofs += u_dev.size
+            s_ofs += s_dev.size
+            for j, i in enumerate(chunk):
+                results[i] = u_np[j]
+                svals[i] = s_np[j]
         local_bases = [results[i] for i in range(len(prep.blocks))]
     else:
         local_bases = saved_bases
@@ -301,7 +312,7 @@ def _stages12_host(
     for b_idx, u_b in enumerate(local_bases):
         proj_groups.setdefault((u_b.shape[0], u_b.shape[1]), []).append(b_idx)
 
-    condensed_by_block: Dict[int, jax.Array] = {}
+    proj_parts: List[tuple] = []  # (chunk, c_b, out_dev)
     for (bucket, c_b), idxs in sorted(proj_groups.items()):
         b_cap = max(1, budget_elems // (bucket * max(n, 1)))
         chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
@@ -320,11 +331,31 @@ def _stages12_host(
             out = _project_blocks_batched(
                 jnp.asarray(np.stack(us)), jnp.asarray(np.stack(xs))
             )  # (B, c_b, N)
-            for j, i in enumerate(chunk):
-                condensed_by_block[i] = out[j]
-    y = jnp.concatenate(
-        [condensed_by_block[i] for i in range(len(prep.blocks))], axis=0
+            proj_parts.append((list(chunk), c_b, out))
+    # Trim batch padding per part, concatenate, reorder to block order
+    # with one gather (instead of one device slice per block).
+    y_cat = jnp.concatenate(
+        [
+            out[: len(chunk)].reshape(len(chunk) * c_b, -1)
+            for chunk, c_b, out in proj_parts
+        ],
+        axis=0,
     )
+    row_start: Dict[int, int] = {}
+    row_cnt: Dict[int, int] = {}
+    cursor = 0
+    for chunk, c_b, _out in proj_parts:
+        for i in chunk:
+            row_start[i] = cursor
+            row_cnt[i] = c_b
+            cursor += c_b
+    perm = np.concatenate(
+        [
+            np.arange(row_start[i], row_start[i] + row_cnt[i], dtype=np.int32)
+            for i in range(len(prep.blocks))
+        ]
+    )
+    y = jnp.take(y_cat, jnp.asarray(perm), axis=0)
     return local_bases, (svals if saved_bases is None else None), y
 
 
