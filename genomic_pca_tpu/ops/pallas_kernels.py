@@ -599,3 +599,160 @@ def plane_major_perm(n_pad: int) -> np.ndarray:
     n4 = n_pad // 4
     k = np.arange(n_pad, dtype=np.int64)
     return 4 * (k % n4) + k // n4
+
+
+def plane_major_perm_tiled(n_pad: int, tile_n4: int) -> np.ndarray:
+    """Tile-local plane-major permutation for the 2-D packed kernels.
+
+    The 2-D kernels unpack one (tile_d, tile_n4) byte tile at a time, so
+    each tile's four planes land contiguously: position
+    k = t*(4*tile_n4) + p*tile_n4 + j holds original sample
+    4*(t*tile_n4 + j) + p.  With tile_n4 == n4 this reduces exactly to
+    `plane_major_perm` (one tile spanning all bytes).
+    """
+    assert n_pad % 4 == 0
+    n4 = n_pad // 4
+    assert n4 % tile_n4 == 0, (n4, tile_n4)
+    k = np.arange(n_pad, dtype=np.int64)
+    t, w = k // (4 * tile_n4), k % (4 * tile_n4)
+    p, j = w // tile_n4, w % tile_n4
+    return 4 * (t * tile_n4 + j) + p
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled packed kernels (biobank sample counts on the 2-bit layout).
+#
+# Same split as the dense 2-D pair — W = A B then T = A^T W with a small
+# (D, L) f32 intermediate in HBM — but reading PLINK bytes (0.25 B per
+# genotype).  Each grid step unpacks ONE (tile_d, tile_n4) byte tile on
+# the VPU into its four sample planes; B/outputs over samples therefore
+# ride in the TILE-LOCAL plane-major order of `plane_major_perm_tiled`
+# (tile_n4 wide), applied by the caller exactly like the 1-D packed
+# kernels' global permutation.
+
+
+def _right2d_packed_kernel(g_ref, m_ref, iv_ref, b_ref, out_ref, *, compute_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = _standardize_packed_tile(g_ref[:], m_ref[:], iv_ref[:], compute_dtype)
+    b = b_ref[:].astype(compute_dtype)
+    out_ref[:] += jnp.dot(
+        x, b, preferred_element_type=jnp.float32,
+        precision=_prec(compute_dtype),
+    )
+
+
+def _left2d_packed_kernel(g_ref, m_ref, iv_ref, w_ref, out_ref, *, compute_dtype):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = _standardize_packed_tile(g_ref[:], m_ref[:], iv_ref[:], compute_dtype)
+    w = w_ref[:].astype(compute_dtype)
+    out_ref[:] += jnp.dot(
+        x.T, w, preferred_element_type=jnp.float32,
+        precision=_prec(compute_dtype),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "tile_n4", "precision", "interpret")
+)
+def fused_right_apply_2d_packed(
+    packed: jax.Array,  # (D, N4) uint8, PLINK 2-bit
+    mean: jax.Array,  # (D, 1) f32
+    inv_std: jax.Array,  # (D, 1) f32
+    b: jax.Array,  # (4*N4, L) f32, TILE-LOCAL plane-major order
+    tile_d: int = 512,
+    tile_n4: int = 512,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """A B with both axes tiled: (D, L) f32 (row space unchanged)."""
+    d, n4 = packed.shape
+    ell = b.shape[1]
+    assert d % tile_d == 0 and n4 % tile_n4 == 0, (d, n4, tile_d, tile_n4)
+    kernel = functools.partial(
+        _right2d_packed_kernel, compute_dtype=_compute_dtype(precision)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tile_d, n4 // tile_n4),
+        in_specs=[
+            pl.BlockSpec((tile_d, tile_n4), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * tile_n4, ell), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_d, ell), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, ell), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * d * n4 * ell,
+            bytes_accessed=d * n4 + d * ell * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, mean, inv_std, b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "tile_n4", "precision", "interpret")
+)
+def fused_left_apply_2d_packed(
+    packed: jax.Array,  # (D, N4) uint8
+    mean: jax.Array,
+    inv_std: jax.Array,
+    w: jax.Array,  # (D, L) f32
+    tile_d: int = 512,
+    tile_n4: int = 512,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """A^T W with both axes tiled: (4*N4, L) f32 in TILE-LOCAL
+    plane-major sample order."""
+    d, n4 = packed.shape
+    ell = w.shape[1]
+    assert d % tile_d == 0 and n4 % tile_n4 == 0, (d, n4, tile_d, tile_n4)
+    kernel = functools.partial(
+        _left2d_packed_kernel, compute_dtype=_compute_dtype(precision)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n4 // tile_n4, d // tile_d),
+        in_specs=[
+            pl.BlockSpec((tile_d, tile_n4), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, ell), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4 * tile_n4, ell), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * n4, ell), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * d * n4 * ell,
+            bytes_accessed=d * n4 + 4 * n4 * ell * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, mean, inv_std, w)

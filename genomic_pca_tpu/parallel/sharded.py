@@ -273,9 +273,6 @@ class ShardedMatrix:
         self.packed = geno.dtype == jnp.uint8
         self.d_pad = geno.shape[0]
         self.n_pad = geno.shape[1] * 4 if self.packed else geno.shape[1]
-        if self.packed:
-            self._perm = pk.plane_major_perm(self.n_pad)
-            self._invp = np.argsort(self._perm)
         if self.mode == "pallas":
             fitted = auto_tile_d(
                 self.n_pad, requested=tile_d, precision=kernel_precision
@@ -283,19 +280,34 @@ class ShardedMatrix:
             if fitted == 0:
                 # Sample axis too wide for a full-row VMEM tile: switch
                 # to the 2-D tiled kernels (both axes blocked, small
-                # (D, L) intermediate in HBM); no packed 2-D variant
-                # exists yet, so packed falls back to the XLA scan.
-                self.mode = "xla" if self.packed else "pallas2d"
+                # (D, L) intermediate in HBM).
+                self.mode = "pallas2d"
             elif fitted != tile_d:
                 tile_d = fitted
-        if self.packed and self.mode.startswith("pallas2d"):
-            raise ValueError("packed layout has no 2-D tiled kernels")
         self.tile_d = tile_d
         self.tile_n = self._pick_tile_n()
+        if self.packed:
+            # Sample-indexed vectors ride in the kernels' plane-major
+            # permutation: tile-local for the 2-D kernels (one byte tile
+            # of tile_n unpacks per grid step), global otherwise (the
+            # 1-D kernels and the XLA scan unpack full-width rows).
+            if self.mode.startswith("pallas2d"):
+                self._perm = pk.plane_major_perm_tiled(self.n_pad, self.tile_n)
+            else:
+                self._perm = pk.plane_major_perm(self.n_pad)
+            self._invp = np.argsort(self._perm)
         self._build_kernels()
 
     def _pick_tile_n(self) -> int:
-        """Largest 128-multiple divisor of n_pad that is <= 2048."""
+        """Sample-axis tile for the 2-D kernels: the largest 128-multiple
+        divisor of the stored column count <= 2048 (dense) / 512 bytes
+        (packed — same 2048-sample unpacked footprint)."""
+        if self.packed:
+            n4 = self.geno.shape[1]
+            for cand in (512, 256, 128):
+                if n4 % cand == 0:
+                    return cand
+            return 128  # unreachable: packed_cols pads to 128 lanes
         for cand in (2048, 1024, 512, 256, 128):
             if self.n_pad % cand == 0:
                 return cand
@@ -604,18 +616,27 @@ class ShardedMatrix:
         interpret = self.mode in ("pallas_interpret", "pallas2d_interpret")
 
         if self.mode in ("pallas2d", "pallas2d_interpret"):
+            if self.packed:
+                right2d, left2d = (
+                    pk.fused_right_apply_2d_packed,
+                    pk.fused_left_apply_2d_packed,
+                )
+                tile_kw = dict(tile_d=tile_d, tile_n4=tile_n)
+            else:
+                right2d, left2d = pk.fused_right_apply_2d, pk.fused_left_apply_2d
+                tile_kw = dict(tile_d=tile_d, tile_n=tile_n)
 
             def local_right(g, m, iv, b):
-                return pk.fused_right_apply_2d(
-                    g, m, iv, b, tile_d=tile_d, tile_n=tile_n,
-                    precision=precision, interpret=interpret,
+                return right2d(
+                    g, m, iv, b, precision=precision, interpret=interpret,
+                    **tile_kw,
                 )
 
             def local_gram(g, m, iv, b):
                 w = local_right(g, m, iv, b)
-                return pk.fused_left_apply_2d(
-                    g, m, iv, w, tile_d=tile_d, tile_n=tile_n,
-                    precision=precision, interpret=interpret,
+                return left2d(
+                    g, m, iv, w, precision=precision, interpret=interpret,
+                    **tile_kw,
                 )
 
             def local_tsq(g, m, iv, b):
