@@ -228,30 +228,105 @@ class PreparedData:
     def load_streaming_matrix(self, strip_size: int = 2048, **kw):
         """Host-streamed operator for datasets exceeding device HBM:
         strips decode from the BED per pass through the prefetch
-        pipeline (io/prefetch.py)."""
+        pipeline (io/prefetch.py).
+
+        With `packed_pipeline` (the default) strips stream as PLINK
+        2-bit bytes — 4x less traffic per pass over the host->device
+        link, which is this container's bottleneck by construction.
+        Full sample set: raw BED bytes verbatim (zero decode cost);
+        keep-list: decode the kept columns and re-pack on the host.
+        """
         from genomic_pca_tpu.ops.streaming import StreamingMatrix
 
         n_strips = max(1, -(-self.n_pca_snps // strip_size))
+        n = self.n_pca_snps
 
-        def source(i: int):
-            start = i * strip_size
-            end = min(start + strip_size, self.n_pca_snps)
-            orig = self.pca_snp_orig_indices[start:end]
-            raw = self.bed.read(orig, self.qc_sample_indices)
-            self._check_missing_policy(raw)
-            m = self.mean[start:end]
-            s = self.std[start:end]
-            if end - start < strip_size:  # pad rows, inert (std=0)
-                pad = strip_size - (end - start)
-                raw = np.pad(raw, ((0, pad), (0, 0)))
+        def _pad_rows(raw, m, s, count, fill=0):
+            if count < strip_size:  # pad rows, inert (std=0)
+                pad = strip_size - count
+                raw = np.pad(raw, ((0, pad), (0, 0)), constant_values=fill)
                 m = np.pad(m, (0, pad))
                 s = np.pad(s, (0, pad))
             return raw, m, s
 
+        if self.config.packed_pipeline and n > 0:
+            from genomic_pca_tpu.parallel.sharded import (
+                PACKED_MISSING_BYTE, pack_int8_rows, sanitize_partial_byte,
+            )
+
+            idx = self.pca_snp_orig_indices
+            if len(self.qc_sample_indices) == self.bed.n_samples:
+                check_missing = self.config.missing_policy == "error"
+
+                def source(i: int):
+                    start = i * strip_size
+                    end = min(start + strip_size, n)
+                    raw = sanitize_partial_byte(
+                        self.bed.read_packed(idx[start:end]), self.n_samples
+                    )
+                    if check_missing:
+                        from genomic_pca_tpu.ops.qc import (
+                            genotype_counts_packed_host,
+                        )
+
+                        counts = genotype_counts_packed_host(
+                            raw, self.n_samples
+                        )
+                        if (counts[:, 3] < self.n_samples).any():
+                            raise DataPrepError(
+                                "Missing genotype encountered post-QC "
+                                "with missing_policy='error' (reference "
+                                "accessor semantics, "
+                                "prepare.rs:1906-1911)."
+                            )
+                    return _pad_rows(
+                        raw, self.mean[start:end], self.std[start:end],
+                        end - start, fill=PACKED_MISSING_BYTE,
+                    )
+
+            else:
+                sel = self.qc_sample_indices
+                decode_step = _decode_bounded_rows(self.bed.n_samples)
+
+                def source(i: int):
+                    start = i * strip_size
+                    end = min(start + strip_size, n)
+                    parts = []
+                    for s0 in range(start, end, decode_step):
+                        e0 = min(s0 + decode_step, end)
+                        dec = self.bed.read(idx[s0:e0], sel)
+                        self._check_missing_policy(dec)
+                        parts.append(pack_int8_rows(dec))
+                    raw = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                    return _pad_rows(
+                        raw, self.mean[start:end], self.std[start:end],
+                        end - start, fill=PACKED_MISSING_BYTE,
+                    )
+
+            return StreamingMatrix(
+                source,
+                n_strips=n_strips,
+                n_rows=n,
+                n_samples=self.n_samples,
+                strip_size=strip_size,
+                packed=True,
+                **kw,
+            )
+
+        def source(i: int):
+            start = i * strip_size
+            end = min(start + strip_size, n)
+            orig = self.pca_snp_orig_indices[start:end]
+            raw = self.bed.read(orig, self.qc_sample_indices)
+            self._check_missing_policy(raw)
+            return _pad_rows(
+                raw, self.mean[start:end], self.std[start:end], end - start
+            )
+
         return StreamingMatrix(
             source,
             n_strips=n_strips,
-            n_rows=self.n_pca_snps,
+            n_rows=n,
             n_samples=self.n_samples,
             strip_size=strip_size,
             **kw,

@@ -1,16 +1,23 @@
 """Host-streamed standardized matrix for bigger-than-HBM datasets.
 
 Same duck-typed contract as parallel/sharded.ShardedMatrix (n_samples,
-n_rows, gram_apply, tsq_accumulate, right_apply) but the int8 strips live
-on HOST (disk via BedReader, or RAM) and stream through the prefetch
+n_rows, gram_apply, tsq_accumulate, right_apply) but the genotype strips
+live on HOST (disk via BedReader, or RAM) and stream through the prefetch
 pipeline (io/prefetch.py) each pass, double-buffered against device
 compute.  This is the reference's lazy accessor + IoService combination
 (/root/reference/src/prepare.rs:169-920, 1838-2029) re-shaped for TPU:
 whole strips DMA to HBM ahead of use and run through the fused Pallas
 kernels.
 
-Use when D x N int8 exceeds device HBM; otherwise prefer ShardedMatrix
-(strips resident, no re-read per pass).
+Strips can be int8 dosages or PLINK 2-bit packed bytes (`packed=True`):
+the packed layout moves 4x less data per pass over the host->device
+link — the bottleneck of this container by construction — and feeds the
+packed kernel family (1-D row tiles, 2-D tiles for biobank-wide sample
+axes, or the XLA unpack fallback), mirroring parallel/sharded.py's mode
+selection and plane-major sample permutation.
+
+Use when the resident matrix exceeds device HBM; otherwise prefer
+ShardedMatrix (strips resident, no re-read per pass).
 """
 
 from __future__ import annotations
@@ -46,11 +53,35 @@ def _xla_strip_right(g, m, iv, b):
     return _strip_right_apply(g, m[:, 0], iv[:, 0], b)
 
 
+@jax.jit
+def _xla_strip_gram_packed(g, m, iv, b):
+    from genomic_pca_tpu.parallel.sharded import _unpack_planes_std
+
+    a = _unpack_planes_std(g, m, iv)  # (S, 4*n4) plane-major
+    w = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(a.T, w, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _xla_strip_right_packed(g, m, iv, b):
+    from genomic_pca_tpu.parallel.sharded import _unpack_planes_std
+
+    a = _unpack_planes_std(g, m, iv)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 class StreamingMatrix:
     """Standardized genotype operator streamed from host per pass.
 
-    `strip_source(i)` returns host arrays (geno int8 (S, N), mean (S,),
-    std (S,)) for strip i; every strip must have the same (padded) shape.
+    `strip_source(i)` returns host arrays for strip i:
+      dense  — (geno int8 (S, N), mean (S,), std (S,))
+      packed — (PLINK bytes uint8 (S, ceil(N/4)), mean (S,), std (S,)),
+               trailing-bit sanitized (`sanitize_partial_byte`).
+    Every strip must have the same row count S = `strip_size` (sources
+    pad the last strip; padded rows carry std = 0 and are inert).
     """
 
     def __init__(
@@ -65,27 +96,61 @@ class StreamingMatrix:
         kernel_precision: str = "bf16",
         prefetch_depth: int = 3,
         prefetch_workers: int = 4,
+        packed: bool = False,
     ):
+        from genomic_pca_tpu.parallel.sharded import auto_tile_d, packed_cols
+
         self._source = strip_source
         self.n_strips = n_strips
         self.n_rows = n_rows
         self.n_samples = n_samples
         self.strip_size = strip_size
+        self.packed = packed
+        if packed:
+            self.n4_pad = packed_cols(n_samples)
+            self.n_pad = 4 * self.n4_pad
+        else:
+            self.n4_pad = 0
+            self.n_pad = _round_up(n_samples, 128)
         if mode is None:
             mode = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-        self.n_pad = _round_up(n_samples, 128)
-        if mode == "pallas":
-            from genomic_pca_tpu.parallel.sharded import auto_tile_d
-
+        if mode in ("pallas", "pallas_interpret"):
             fitted = auto_tile_d(
                 self.n_pad, requested=tile_d, precision=kernel_precision
             )
             if fitted == 0:
-                mode = "xla"  # sample axis too wide for a VMEM row tile
+                # Sample axis too wide for a full-row VMEM tile: 2-D
+                # tiled kernels (dense AND packed variants exist).
+                mode = "pallas2d" + ("_interpret" if "interpret" in mode else "")
             else:
                 tile_d = fitted
         self.mode = mode
+        pallas = mode.startswith("pallas")
+        # Uploaded strips are row-padded to a tile_d multiple so the
+        # kernel grid divides evenly (the reference's default strip size
+        # is 2000 — not a power of two; tile_d always is).
+        if pallas:
+            tile_d = min(tile_d, _round_up(strip_size, 32))
+            self.strip_rows = _round_up(strip_size, tile_d)
+        else:
+            self.strip_rows = strip_size
         self.tile_d = tile_d
+        if mode.startswith("pallas2d"):
+            if packed:
+                cands = (512, 256, 128)
+                width = self.n4_pad
+            else:
+                cands = (2048, 1024, 512, 256, 128)
+                width = self.n_pad
+            self.tile_n = next(c for c in cands if width % c == 0)
+        else:
+            self.tile_n = 0
+        if packed:
+            if mode.startswith("pallas2d"):
+                self._perm = pk.plane_major_perm_tiled(self.n_pad, self.tile_n)
+            else:
+                self._perm = pk.plane_major_perm(self.n_pad)
+            self._invp = np.argsort(self._perm)
         self.kernel_precision = kernel_precision
         self.prefetch_depth = prefetch_depth
         self.prefetch_workers = prefetch_workers
@@ -93,16 +158,29 @@ class StreamingMatrix:
 
     # ------------------------------------------------------------------
     def _fetch(self, i: int):
+        from genomic_pca_tpu.parallel.sharded import PACKED_MISSING_BYTE, inv_std_of
+
         g, m, s = self._source(i)
-        g = np.asarray(g, dtype=np.int8)
         m = np.asarray(m, dtype=np.float32)
         s = np.asarray(s, dtype=np.float32)
-        from genomic_pca_tpu.parallel.sharded import inv_std_of
-
         inv = inv_std_of(s).astype(np.float32)
-        if g.shape[1] < self.n_pad:  # pad samples with missing
-            pad = self.n_pad - g.shape[1]
-            g = np.pad(g, ((0, 0), (0, pad)), constant_values=MISSING)
+        if self.packed:
+            g = np.asarray(g, dtype=np.uint8)
+            if g.shape[1] < self.n4_pad:  # pad byte columns, all-missing
+                pad = self.n4_pad - g.shape[1]
+                g = np.pad(g, ((0, 0), (0, pad)),
+                           constant_values=PACKED_MISSING_BYTE)
+        else:
+            g = np.asarray(g, dtype=np.int8)
+            if g.shape[1] < self.n_pad:  # pad samples with missing
+                pad = self.n_pad - g.shape[1]
+                g = np.pad(g, ((0, 0), (0, pad)), constant_values=MISSING)
+        if g.shape[0] < self.strip_rows:  # pad rows to the kernel grid
+            pad = self.strip_rows - g.shape[0]
+            fill = PACKED_MISSING_BYTE if self.packed else 0
+            g = np.pad(g, ((0, pad), (0, 0)), constant_values=fill)
+            m = np.pad(m, (0, pad))
+            inv = np.pad(inv, (0, pad))  # inv_std = 0: inert rows
         payload = (
             jax.device_put(g),
             jax.device_put(m.reshape(-1, 1)),
@@ -122,25 +200,64 @@ class StreamingMatrix:
 
     def _pad_b(self, b: jax.Array) -> jax.Array:
         n, ell = b.shape
-        ell_pad = _round_up(ell, 128) if self.mode == "pallas" else ell
+        pallas = self.mode.startswith("pallas")
+        ell_pad = _round_up(ell, 128) if pallas else ell
         out = jnp.zeros((self.n_pad, ell_pad), dtype=jnp.float32)
-        return out.at[:n, :ell].set(jnp.asarray(b, jnp.float32))
+        out = out.at[:n, :ell].set(jnp.asarray(b, jnp.float32))
+        if self.packed:
+            out = jnp.take(out, jnp.asarray(self._perm), axis=0)
+        return out
 
-    def _strip_gram(self, g, m, iv, b):
-        if self.mode == "pallas":
-            return pk.fused_gram_apply(
-                g, m, iv, b, tile_d=self.tile_d,
-                precision=self.kernel_precision,
-            )
-        return _xla_strip_gram(g, m, iv, b)
+    def _unperm(self, t: jax.Array) -> jax.Array:
+        """Permuted sample rows -> original order (packed only)."""
+        if self.packed:
+            return jnp.take(t, jnp.asarray(self._invp), axis=0)
+        return t
 
     def _strip_right(self, g, m, iv, b):
-        if self.mode == "pallas":
-            return pk.fused_right_apply(
-                g, m, iv, b, tile_d=self.tile_d,
-                precision=self.kernel_precision,
+        interpret = self.mode.endswith("_interpret")
+        if self.mode.startswith("pallas2d"):
+            if self.packed:
+                return pk.fused_right_apply_2d_packed(
+                    g, m, iv, b, tile_d=self.tile_d, tile_n4=self.tile_n,
+                    precision=self.kernel_precision, interpret=interpret,
+                )
+            return pk.fused_right_apply_2d(
+                g, m, iv, b, tile_d=self.tile_d, tile_n=self.tile_n,
+                precision=self.kernel_precision, interpret=interpret,
             )
+        if self.mode.startswith("pallas"):
+            fn = pk.fused_right_apply_packed if self.packed else pk.fused_right_apply
+            return fn(
+                g, m, iv, b, tile_d=self.tile_d,
+                precision=self.kernel_precision, interpret=interpret,
+            )
+        if self.packed:
+            return _xla_strip_right_packed(g, m, iv, b)
         return _xla_strip_right(g, m, iv, b)
+
+    def _strip_gram(self, g, m, iv, b):
+        interpret = self.mode.endswith("_interpret")
+        if self.mode.startswith("pallas2d"):
+            w = self._strip_right(g, m, iv, b)
+            if self.packed:
+                return pk.fused_left_apply_2d_packed(
+                    g, m, iv, w, tile_d=self.tile_d, tile_n4=self.tile_n,
+                    precision=self.kernel_precision, interpret=interpret,
+                )
+            return pk.fused_left_apply_2d(
+                g, m, iv, w, tile_d=self.tile_d, tile_n=self.tile_n,
+                precision=self.kernel_precision, interpret=interpret,
+            )
+        if self.mode.startswith("pallas"):
+            fn = pk.fused_gram_apply_packed if self.packed else pk.fused_gram_apply
+            return fn(
+                g, m, iv, b, tile_d=self.tile_d,
+                precision=self.kernel_precision, interpret=interpret,
+            )
+        if self.packed:
+            return _xla_strip_gram_packed(g, m, iv, b)
+        return _xla_strip_gram(g, m, iv, b)
 
     # ---- public passes ----------------------------------------------
     def gram_apply(self, b: jax.Array) -> jax.Array:
@@ -149,7 +266,7 @@ class StreamingMatrix:
         acc = jnp.zeros((self.n_pad, bp.shape[1]), dtype=jnp.float32)
         for g, m, iv in self._prefetcher():
             acc = acc + self._strip_gram(g, m, iv, bp)
-        return acc[: self.n_samples, :ell]
+        return self._unperm(acc)[: self.n_samples, :ell]
 
     def tsq_accumulate(self, b: jax.Array) -> jax.Array:
         ell = b.shape[1]
@@ -167,10 +284,10 @@ class StreamingMatrix:
         ell = b.shape[1]
         bp = self._pad_b(b)
         outs = []
-        rows_left = self.n_rows
-        for g, m, iv in self._prefetcher():
+        for i, (g, m, iv) in enumerate(self._prefetcher()):
             w = self._strip_right(g, m, iv, bp)
-            take = min(rows_left, w.shape[0])
-            outs.append(np.asarray(w)[:take, :ell])
-            rows_left -= take
+            # real (unpadded) rows of strip i — strips may be row-padded
+            # past strip_size to the kernel-grid multiple
+            real = min(self.strip_size, self.n_rows - i * self.strip_size)
+            outs.append(np.asarray(w)[:real, :ell])
         return np.concatenate(outs, axis=0)

@@ -1,5 +1,6 @@
 """Prefetch pipeline and host-streamed matrix tests."""
 
+import dataclasses
 import time
 
 import numpy as np
@@ -126,3 +127,91 @@ def test_prefetcher_timeout():
     with pytest.raises(TimeoutError, match="Strip 3"):
         list(p)
     block.set()
+
+
+def test_streaming_matrix_packed_vs_dense(tmp_path, rng):
+    """Packed streaming (the packed_pipeline default) == dense streaming
+    through every pass, including keep-list repack and interpret-mode
+    Pallas kernels with a strip size that does not divide tile_d."""
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.models.prepare import prepare_data
+    from genomic_pca_tpu.config import DataPrepConfig
+    import jax.numpy as jnp
+
+    geno = make_genotypes(rng, 310, 50, missing_rate=0.02)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, geno, bp=list(range(10, 3110, 10)))
+    blocks = tmp_path / "blocks.tsv"
+    blocks.write_text("1 1 4000\n")
+    keep = tmp_path / "keep.txt"
+    keep.write_text("".join(f"sample{i}\n" for i in range(0, 50, 2)))
+
+    for keep_path in (None, str(keep)):
+        cfg = DataPrepConfig(
+            bed_path=prefix, ld_block_path=str(blocks),
+            min_call_rate=0.5, snp_chunk_size=128,
+            sample_keep_path=keep_path,
+        )
+        prep = prepare_data(cfg)
+        cfg_dense = dataclasses.replace(cfg, packed_pipeline=False)
+        prep_dense = prepare_data(cfg_dense)
+
+        sm_pk = prep.load_streaming_matrix(strip_size=60)
+        assert sm_pk.packed
+        sm_dn = prep_dense.load_streaming_matrix(strip_size=60)
+        assert not sm_dn.packed
+
+        b = jnp.asarray(
+            rng.standard_normal((prep.n_samples, 5)).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sm_pk.gram_apply(b)), np.asarray(sm_dn.gram_apply(b)),
+            rtol=1e-4, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sm_pk.tsq_accumulate(b)),
+            np.asarray(sm_dn.tsq_accumulate(b)), rtol=1e-4, atol=1e-1,
+        )
+        np.testing.assert_allclose(
+            sm_pk.right_apply(b), sm_dn.right_apply(b), rtol=1e-4, atol=1e-2
+        )
+
+        # Pallas interpret modes on the packed strips: row padding to the
+        # kernel grid (60 rows -> tile multiple) must stay inert.
+        for mode in ("pallas_interpret", "pallas2d_interpret"):
+            sm_i = prep.load_streaming_matrix(
+                strip_size=60, mode=mode, tile_d=32, kernel_precision="f32"
+            )
+            assert sm_i.strip_rows % sm_i.tile_d == 0
+            np.testing.assert_allclose(
+                np.asarray(sm_i.gram_apply(b)),
+                np.asarray(sm_dn.gram_apply(b)), rtol=1e-4, atol=1e-2,
+            )
+            np.testing.assert_allclose(
+                sm_i.right_apply(b), sm_dn.right_apply(b),
+                rtol=1e-4, atol=1e-2,
+            )
+
+
+def test_streaming_matrix_packed_missing_policy_error(tmp_path, rng):
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.models.prepare import prepare_data
+    from genomic_pca_tpu.config import DataPrepConfig
+    from genomic_pca_tpu.errors import DataPrepError
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    geno = make_genotypes(rng, 100, 30, missing_rate=0.05)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, geno, bp=list(range(10, 1010, 10)))
+    blocks = tmp_path / "blocks.tsv"
+    blocks.write_text("1 1 2000\n")
+    cfg = DataPrepConfig(
+        bed_path=prefix, ld_block_path=str(blocks),
+        min_call_rate=0.5, missing_policy="error",
+    )
+    prep = prepare_data(cfg)
+    sm = prep.load_streaming_matrix(strip_size=64)
+    b = jnp.asarray(np.zeros((prep.n_samples, 2), np.float32))
+    with _pytest.raises(DataPrepError, match="missing_policy"):
+        np.asarray(sm.gram_apply(b))
