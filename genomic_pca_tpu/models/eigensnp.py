@@ -73,6 +73,49 @@ def _project_blocks_batched(u: jax.Array, x: jax.Array) -> jax.Array:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_cols",))
+def _standardize_packed_stack(
+    pk8: jax.Array,  # (B, R, n4) uint8 PLINK bytes
+    mean: jax.Array,  # (B, R) f32
+    inv: jax.Array,  # (B, R) f32
+    n_cols: int,
+) -> jax.Array:
+    """(B, R, n_cols) f32 standardized blocks unpacked on device —
+    ORIGINAL sample order (interleave reshape; the Mosaic lane
+    constraint does not apply outside Pallas).  Missing (code 01) and
+    inert rows (inv_std 0) standardize to zero."""
+    c = pk8.astype(jnp.int32)
+    b, r, n4 = c.shape
+    cs = jnp.stack(
+        [(c >> (2 * p)) & 3 for p in range(4)], axis=-1
+    ).reshape(b, r, 4 * n4)
+    x = ((4 - cs) >> 1).astype(jnp.float32) * inv[..., None] + (
+        -mean * inv
+    )[..., None]
+    return jnp.where(cs != 1, x, 0.0)[:, :, :n_cols]
+
+
+@jax.jit
+def _standardize_packed_stack_cols(
+    pk8: jax.Array,  # (B, R, n4) uint8
+    mean: jax.Array,  # (B, R) f32
+    inv: jax.Array,  # (B, R) f32
+    col_idx: jax.Array,  # (C,) int32 sample columns
+) -> jax.Array:
+    """(B, R, C) f32 standardized blocks restricted to `col_idx` — the
+    subset is extracted straight from the packed bytes (byte gather +
+    per-column plane shift), never materializing the full width."""
+    c = pk8.astype(jnp.int32)
+    byte = col_idx // 4
+    shift = (2 * (col_idx % 4)).astype(jnp.int32)
+    cb = jnp.take(c, byte, axis=2)  # (B, R, C)
+    cp = (cb >> shift[None, None, :]) & 3
+    x = ((4 - cp) >> 1).astype(jnp.float32) * inv[..., None] + (
+        -mean * inv
+    )[..., None]
+    return jnp.where(cp != 1, x, 0.0)
+
+
 @functools.lru_cache(maxsize=None)
 def _batched_rsvd(k: int, n_oversamples: int, n_power_iter: int):
     """jitted vmap of rsvd over a stacked batch of same-shape blocks."""
@@ -255,8 +298,55 @@ def _stages12_host(
 ):
     """Stages 1+2 through the host accessor (streaming / non-run blocks).
 
+    With the packed pipeline and a full sample set, blocks upload as RAW
+    PLINK bytes and standardize on device
+    (`prep.fetch_block_packed` + `_standardize_packed_stack*`) — 16x
+    less host->device traffic than standardized-f32 blocks, which is
+    what makes bigger-than-HBM (streaming-matrix) EigenSNP runs viable.
+    Keep-list runs fall back to the decoded f32 accessor.
+
     Returns (local_bases, svals or None, y device (C, N))."""
     n = prep.n_samples
+    packed = getattr(prep, "supports_packed_blocks", False)
+    subset_dev = (
+        jnp.asarray(subset, dtype=jnp.int32) if packed else None
+    )
+
+    def fetch_batch(chunk: List[int], bucket: int, chunk_b: int, cols):
+        """(chunk_b, bucket, C) f32 standardized batch on device.
+
+        `cols` is the subset array or None for all samples; batch
+        padding uses inert blocks (all-missing / zero)."""
+        if packed:
+            raws, ms, ivs = zip(
+                *(
+                    prep.fetch_block_packed(
+                        prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
+                    )
+                    for i in chunk
+                )
+            )
+            raws, ms, ivs = list(raws), list(ms), list(ivs)
+            while len(raws) < chunk_b:  # inert all-missing blocks
+                raws.append(np.full_like(raws[0], 0x55))
+                ms.append(np.zeros_like(ms[0]))
+                ivs.append(np.zeros_like(ivs[0]))
+            pk8 = jnp.asarray(np.stack(raws))
+            mean = jnp.asarray(np.stack(ms))
+            inv = jnp.asarray(np.stack(ivs))
+            if cols is None:
+                return _standardize_packed_stack(pk8, mean, inv, n)
+            return _standardize_packed_stack_cols(pk8, mean, inv, subset_dev)
+        xs = [
+            prep.fetch_block_standardized(
+                prep.blocks[i].pca_snp_ids, cols, pad_rows_to=bucket
+            )
+            for i in chunk
+        ]
+        while len(xs) < chunk_b:  # batch padding: inert zero blocks
+            xs.append(np.zeros_like(xs[0]))
+        return jnp.asarray(np.stack(xs))
+
     groups: Dict[tuple, List[int]] = {}
     for b_idx, block in enumerate(prep.blocks):
         d_b = len(block.pca_snp_ids)
@@ -279,16 +369,9 @@ def _stages12_host(
             )
             for pos in range(0, len(idxs), chunk_b):
                 chunk = idxs[pos : pos + chunk_b]
-                xs = [
-                    prep.fetch_block_standardized(
-                        prep.blocks[i].pca_snp_ids, subset, pad_rows_to=bucket
-                    )
-                    for i in chunk
-                ]
-                while len(xs) < chunk_b:  # batch padding: inert zero blocks
-                    xs.append(np.zeros_like(xs[0]))
                 u_batch, s_batch, _ = fn(
-                    jnp.asarray(np.stack(xs)), _stage_keys(cfg, chunk, chunk_b)
+                    fetch_batch(chunk, bucket, chunk_b, subset),
+                    _stage_keys(cfg, chunk, chunk_b),
                 )
                 parts.append((list(chunk), u_batch, s_batch))
         u_flat = np.asarray(jnp.concatenate([p[1].reshape(-1) for p in parts]))
@@ -318,18 +401,12 @@ def _stages12_host(
         chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
         for pos in range(0, len(idxs), chunk_b):
             chunk = idxs[pos : pos + chunk_b]
-            xs = [
-                prep.fetch_block_standardized(
-                    prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
-                )
-                for i in chunk
-            ]
             us = [local_bases[i] for i in chunk]
-            while len(xs) < chunk_b:
-                xs.append(np.zeros_like(xs[0]))
+            while len(us) < chunk_b:
                 us.append(np.zeros_like(us[0]))
             out = _project_blocks_batched(
-                jnp.asarray(np.stack(us)), jnp.asarray(np.stack(xs))
+                jnp.asarray(np.stack(us)),
+                fetch_batch(chunk, bucket, chunk_b, None),
             )  # (B, c_b, N)
             proj_parts.append((list(chunk), c_b, out))
     # Trim batch padding per part, concatenate, reorder to block order

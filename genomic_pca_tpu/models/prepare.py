@@ -196,6 +196,57 @@ class PreparedData:
         )[:, None].astype(np.float32)
         return np.where(raw != MISSING, x, np.float32(0.0))
 
+    @property
+    def supports_packed_blocks(self) -> bool:
+        """True when blocks can be fetched as raw PLINK bytes (full
+        sample set; packed bytes cannot express column subsets)."""
+        return bool(self.config.packed_pipeline) and len(
+            self.qc_sample_indices
+        ) == self.bed.n_samples
+
+    def fetch_block_packed(
+        self, pca_snp_ids: np.ndarray, pad_rows_to: Optional[int] = None
+    ):
+        """Raw 2-bit block fetch: (packed uint8 (R, n4_pad), mean f32 (R,),
+        inv_std f32 (R,)) for the requested PcaSnpIds, ALL samples.
+
+        The packed-byte analog of `fetch_block_standardized` for the
+        EigenSNP stage engine: 16x less host->device traffic than the
+        standardized-f32 block (bytes upload verbatim; dequant +
+        standardize run on the VPU).  Row padding is all-missing bytes
+        with inv_std 0 (inert); byte columns pad to the 128-lane device
+        width.
+        """
+        from genomic_pca_tpu.parallel.sharded import (
+            PACKED_MISSING_BYTE, inv_std_of, sanitize_partial_byte,
+        )
+
+        pca_snp_ids = np.asarray(pca_snp_ids, dtype=np.int64)
+        orig = self.pca_snp_orig_indices[pca_snp_ids]
+        raw = sanitize_partial_byte(
+            self.bed.read_packed(orig), self.n_samples
+        )
+        if self.config.missing_policy == "error":
+            from genomic_pca_tpu.ops.qc import genotype_counts_packed_host
+
+            counts = genotype_counts_packed_host(raw, self.n_samples)
+            if (counts[:, 3] < self.n_samples).any():
+                raise DataPrepError(
+                    "Missing genotype encountered post-QC with "
+                    "missing_policy='error' (reference accessor "
+                    "semantics, prepare.rs:1906-1911)."
+                )
+        mean = self.mean[pca_snp_ids].astype(np.float32)
+        inv = inv_std_of(self.std[pca_snp_ids]).astype(np.float32)
+        n4_pad = _packed_cols(self.n_samples)
+        rows = pad_rows_to if pad_rows_to is not None else raw.shape[0]
+        out = np.full((rows, n4_pad), PACKED_MISSING_BYTE, dtype=np.uint8)
+        out[: raw.shape[0], : raw.shape[1]] = raw
+        if raw.shape[0] < rows:
+            mean = np.pad(mean, (0, rows - raw.shape[0]))
+            inv = np.pad(inv, (0, rows - raw.shape[0]))
+        return out, mean, inv
+
     def _strip_gen(self, strip_size: int):
         def gen():
             for start in range(0, self.n_pca_snps, strip_size):
@@ -607,6 +658,9 @@ class PreparedData:
                 resident_bytes / 1e9,
                 budget / 1e9,
             )
+            # Don't hold the (pre-QC, >= resident-size) capture batches
+            # in HBM while every pass streams from host.
+            self.qc_capture = None
             return self.load_streaming_matrix(strip_size=strip_size)
 
         if jax.process_count() > 1:

@@ -332,3 +332,70 @@ def test_keep_list_packed_repack_matches_int8(tmp_path, rng):
     a = np.asarray(sm_h.gram_apply(b0))
     b = np.asarray(sm_d.gram_apply(b0))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_host_stages_packed_matches_f32_accessor(tmp_path, rng):
+    """The packed block accessor (raw bytes up, standardize on device)
+    must match the decoded-f32 accessor exactly; keep-lists fall back."""
+    import dataclasses
+
+    from genomic_pca_tpu.models import eigensnp as es
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=400, n_samples=64)
+    prep_pk = prepare_data(cfg)
+    assert prep_pk.supports_packed_blocks
+    prep_f32 = prepare_data(
+        dataclasses.replace(cfg, packed_pipeline=False)
+    )
+    assert not prep_f32.supports_packed_blocks
+
+    ecfg = EigenSnpConfig(
+        k_global=4, components_per_block=3, min_subset_size=32,
+        max_subset_size=48, subset_factor=0.6,
+    )
+    subset = es._choose_sample_subset(ecfg, prep_pk.n_samples)
+    ub_p, sv_p, y_p = es._stages12_host(prep_pk, ecfg, subset, None)
+    ub_f, sv_f, y_f = es._stages12_host(prep_f32, ecfg, subset, None)
+    for i in range(len(prep_pk.blocks)):
+        np.testing.assert_allclose(ub_p[i], ub_f[i], atol=2e-4)
+        np.testing.assert_allclose(sv_p[i], sv_f[i], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_f), atol=2e-3)
+
+    # keep-list: packed accessor unavailable, result still correct
+    keep = tmp_path / "keep2.txt"
+    keep.write_text("".join(f"sample{i}\n" for i in range(0, 64, 2)))
+    prep_kl = prepare_data(
+        dataclasses.replace(cfg, sample_keep_path=str(keep))
+    )
+    assert not prep_kl.supports_packed_blocks
+    res = compute_eigensnp_pca(prep_kl, ecfg)
+    assert res.scores.shape == (32, 4)
+    assert np.isfinite(res.scores).all()
+
+
+def test_eigensnp_on_streaming_matrix_matches_resident(tmp_path, rng):
+    """Bigger-than-HBM path: forcing the streaming container must give
+    the same PCs as the resident run (stages 1-2 via the packed host
+    accessor, refinement via streamed gram passes)."""
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=500, n_samples=60)
+    prep = prepare_data(cfg)
+    ecfg = EigenSnpConfig(
+        k_global=4, components_per_block=4, min_subset_size=60,
+        refine_passes=2,
+    )
+    r_resident = compute_eigensnp_pca(prep, ecfg)
+
+    prep2 = prepare_data(cfg)
+    prep2.load_matrix = lambda strip_size=2048, mesh=None: (
+        prep2.load_streaming_matrix(strip_size=128)
+    )
+    r_stream = compute_eigensnp_pca(prep2, ecfg)
+
+    np.testing.assert_allclose(
+        r_stream.eigenvalues, r_resident.eigenvalues, rtol=1e-3
+    )
+    for j in range(4):
+        r = np.corrcoef(r_stream.scores[:, j], r_resident.scores[:, j])[0, 1]
+        assert abs(r) > 0.9999, (j, r)
+        rl = np.corrcoef(r_stream.loadings[:, j], r_resident.loadings[:, j])[0, 1]
+        assert abs(rl) > 0.9999, (j, rl)
