@@ -287,7 +287,10 @@ class StreamingMatrix:
         for i, (g, m, iv) in enumerate(self._prefetcher()):
             w = self._strip_right(g, m, iv, bp)
             # real (unpadded) rows of strip i — strips may be row-padded
-            # past strip_size to the kernel-grid multiple
+            # past strip_size to the kernel-grid multiple.  Slice rows
+            # AND the padded sketch columns on device: fetching the full
+            # 128-lane pad through a slow host link costs ell_pad/ell x
+            # the necessary bytes.
             real = min(self.strip_size, self.n_rows - i * self.strip_size)
-            outs.append(np.asarray(w)[:real, :ell])
+            outs.append(np.asarray(w[:real, :ell]))
         return np.concatenate(outs, axis=0)
