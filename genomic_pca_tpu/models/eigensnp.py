@@ -618,7 +618,15 @@ def compute_eigensnp_pca(
                 "EigenSNP refinement pass %d/%d done.", p + 1, cfg.refine_passes
             )
 
-        g = a.tsq_accumulate(s_basis)  # (k, k)
+        # Streaming containers fuse the condensed Gram with an A B
+        # capture: loadings are (A B) W / sigma, so the separate
+        # right_apply pass (a full re-read + re-upload of the matrix) is
+        # unnecessary.
+        fused = hasattr(a, "tsq_and_capture")
+        if fused:
+            g, ab = a.tsq_and_capture(s_basis)  # (k, k), (D, k) host
+        else:
+            g = a.tsq_accumulate(s_basis)  # (k, k)
         evals, w = jnp.linalg.eigh(g)
         order = jnp.argsort(-evals)
         evals = jnp.maximum(evals[order], 0.0)
@@ -630,7 +638,14 @@ def compute_eigensnp_pca(
         inv_sigma = np.asarray(
             jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1.0), 0.0)
         )
-        loadings = (a.right_apply(v) * inv_sigma[None, :]).astype(np.float32)
+        if fused:
+            loadings = (
+                (ab @ np.asarray(w)) * inv_sigma[None, :]
+            ).astype(np.float32)
+        else:
+            loadings = (a.right_apply(v) * inv_sigma[None, :]).astype(
+                np.float32
+            )
         eigenvalues = np.asarray(evals, dtype=np.float64) / max(n - 1, 1)
 
     log.info(

@@ -103,7 +103,14 @@ def streamed_pca(
             t = matrix.gram_apply(b)  # A^T A B, one streamed pass
             b, _ = jnp.linalg.qr(t)
 
-    g = matrix.tsq_accumulate(b)  # B^T A^T A B (l x l)
+    # Streaming containers fuse the condensed Gram with an A B capture
+    # when loadings are wanted: loadings = (A B) W / sigma, saving the
+    # separate right_apply pass (a full re-read of the matrix).
+    fused = compute_loadings and hasattr(matrix, "tsq_and_capture")
+    if fused:
+        g, ab = matrix.tsq_and_capture(b)  # (l, l), (D, l) host
+    else:
+        g = matrix.tsq_accumulate(b)  # B^T A^T A B (l x l)
     evals, w = jnp.linalg.eigh(g)  # ascending
     order = jnp.argsort(-evals)
     evals = jnp.maximum(evals[order], 0.0)
@@ -121,7 +128,10 @@ def streamed_pca(
         inv_sigma = np.asarray(
             jnp.where(sigma_k > 0, 1.0 / jnp.where(sigma_k > 0, sigma_k, 1.0), 0.0)
         )
-        loadings = matrix.right_apply(v_k) * inv_sigma[None, :]
+        if fused:
+            loadings = (ab @ np.asarray(w)[:, :k]) * inv_sigma[None, :]
+        else:
+            loadings = matrix.right_apply(v_k) * inv_sigma[None, :]
 
     return PcaResult(
         scores=scores,

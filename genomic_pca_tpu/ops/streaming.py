@@ -294,3 +294,30 @@ class StreamingMatrix:
             real = min(self.strip_size, self.n_rows - i * self.strip_size)
             outs.append(np.asarray(w[:real, :ell]))
         return np.concatenate(outs, axis=0)
+
+    def tsq_and_capture(self, b: jax.Array):
+        """One fused streaming pass returning BOTH
+        `tsq_accumulate(b)` ((l, l) device) and `A B` ((n_rows, l) host).
+
+        PCA finalization needs the condensed Gram of the final basis AND
+        the loadings `A V / sigma`; since `V = B W`,
+        `A V = (A B) W` — so capturing the per-strip `A_s B` products the
+        tsq already computes saves one full pass over the data (each
+        streaming pass re-reads and re-uploads the whole matrix).
+        Callers finish with a host-side `(A B) @ W` (models use it via
+        the `tsq_and_capture` duck-type check).  Host memory cost:
+        n_rows x l f32.
+        """
+        ell = b.shape[1]
+        bp = self._pad_b(b)
+        acc = jnp.zeros((bp.shape[1], bp.shape[1]), dtype=jnp.float32)
+        outs = []
+        for i, (g, m, iv) in enumerate(self._prefetcher()):
+            w = self._strip_right(g, m, iv, bp)
+            acc = acc + jnp.dot(
+                w.T, w, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            real = min(self.strip_size, self.n_rows - i * self.strip_size)
+            outs.append(np.asarray(w[:real, :ell]))
+        return acc[:ell, :ell], np.concatenate(outs, axis=0)

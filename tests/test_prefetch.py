@@ -215,3 +215,35 @@ def test_streaming_matrix_packed_missing_policy_error(tmp_path, rng):
     b = jnp.asarray(np.zeros((prep.n_samples, 2), np.float32))
     with _pytest.raises(DataPrepError, match="missing_policy"):
         np.asarray(sm.gram_apply(b))
+
+
+def test_streamed_pca_fused_loadings_match(tmp_path, rng):
+    """tsq_and_capture (fused tsq + A B pass) must give the same loadings
+    as the separate right_apply pass."""
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.models.prepare import prepare_data
+    from genomic_pca_tpu.config import DataPrepConfig
+
+    geno = make_genotypes(rng, 300, 40, n_pops=4, fst=0.25)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, geno, bp=list(range(10, 3010, 10)))
+    blocks = tmp_path / "blocks.tsv"
+    blocks.write_text("1 1 4000\n")
+    cfg = DataPrepConfig(bed_path=prefix, ld_block_path=str(blocks))
+    prep = prepare_data(cfg)
+
+    r_stream = streamed_pca(
+        prep.load_streaming_matrix(strip_size=64), k=3,
+        n_power_iter=5, seed=9, compute_loadings=True,
+    )
+    r_resident = streamed_pca(
+        prep.load_striped_matrix(strip_size=64), k=3,
+        n_power_iter=5, seed=9, compute_loadings=True,
+    )
+    assert r_stream.loadings.shape == (prep.n_pca_snps, 3)
+    for j in range(3):
+        r = np.corrcoef(r_stream.loadings[:, j], r_resident.loadings[:, j])[0, 1]
+        assert abs(r) > 0.9999, (j, r)
+    np.testing.assert_allclose(
+        r_stream.singular_values, r_resident.singular_values, rtol=1e-4
+    )
