@@ -42,9 +42,13 @@ def main() -> None:
     on_tpu = platform not in ("cpu",)
 
     # Problem size: biobank-shaped strip stream (int8 resident in HBM).
+    # ell = 128 is the PRODUCTION sketch width: models/pca.lane_fill_width
+    # widens every hot-loop sketch (rfit and the EigenSNP refinement) to
+    # the full 128-lane MXU tile, so this measures the shape the pipeline
+    # actually runs — no padding FLOPs in the numerator.
     n_samples = 2048
     n_snps = 262_144 if on_tpu else 16_384
-    ell = 32
+    ell = 128
 
 
     rng = np.random.default_rng(0)

@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SNP processing strip size (default 2000).")
     p.add_argument("--eigensnp-refine-passes", type=int, default=None,
                    help="Number of refinement passes (default 1).")
+    p.add_argument("--eigensnp-refine-width", type=int, default=None,
+                   help="Refinement subspace width (extension over the "
+                        "reference: default auto-fills the 128-lane MXU "
+                        "tile the kernels pad to anyway; set to k_global "
+                        "to refine exactly the stage-2 basis).")
     p.add_argument("--eigensnp-collect-diagnostics", action="store_true",
                    help="Enable detailed diagnostics collection.")
     p.add_argument("--profile-dir", default=None,
@@ -194,6 +199,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 seed=_default(args.eigensnp_seed, 2025),
                 snp_strip_size=_default(args.eigensnp_snp_strip_size, 2000),
                 refine_passes=_default(args.eigensnp_refine_passes, 1),
+                refine_width=args.eigensnp_refine_width,
                 collect_diagnostics=args.eigensnp_collect_diagnostics,
             )
             with maybe_trace(args.profile_dir):

@@ -110,6 +110,12 @@ class EigenSnpConfig:
     snp_strip_size: int = 2000
     refine_passes: int = 1
     collect_diagnostics: bool = False
+    # Width of the refinement subspace (extension over the reference).
+    # None = auto: fill the 128-lane MXU tile the fused kernels pad the
+    # sketch to anyway (same TPU wall-clock as width k, strictly better
+    # convergence — see models/pca.lane_fill_width).  Set <= k_global to
+    # refine exactly the k-dimensional stage-2 basis.
+    refine_width: Optional[int] = None
 
     def subset_size(self, n_samples: int) -> int:
         """Sample-subset size for local basis learning.

@@ -40,6 +40,7 @@ import numpy as np
 
 from genomic_pca_tpu.config import EigenSnpConfig
 from genomic_pca_tpu.errors import ComputeError
+from genomic_pca_tpu.models.pca import lane_fill_width
 from genomic_pca_tpu.models.prepare import PreparedData
 from genomic_pca_tpu.ops.rsvd import rsvd
 from genomic_pca_tpu.utils.rng import key_for_stage
@@ -441,11 +442,14 @@ def compute_eigensnp_pca(
     cfg: EigenSnpConfig,
     strip_size: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    mesh=None,
 ) -> EigenSnpResult:
     """Run the full two-stage pipeline on prepared data.
 
     `checkpoint_dir` enables stage checkpoint/resume for preemptible
     runs (utils/checkpoint.py — capability absent in the reference).
+    `mesh` overrides the device mesh the matrix loads onto (default:
+    all devices).
     """
     from genomic_pca_tpu.utils.checkpoint import StageCheckpointer, fingerprint
 
@@ -472,7 +476,7 @@ def compute_eigensnp_pca(
     # the whole algorithm, instead of two extra BED passes + standardized
     # f32 uploads through the host accessor.  Streaming containers and
     # non-contiguous block files keep the host accessor path.
-    a = prep.load_matrix(strip_size=strip_size)
+    a = prep.load_matrix(strip_size=strip_size, mesh=mesh)
     runs = _blocks_as_runs(prep.blocks)
     use_device = runs is not None and hasattr(a, "fetch_blocks_device")
     if use_device and getattr(a, "row_segments", None) is not None:
@@ -581,6 +585,26 @@ def compute_eigensnp_pca(
         s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) orthonormal score basis
         ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
 
+    # Widen the refinement basis to fill the 128-lane MXU tile: the fused
+    # kernels pad the sketch to 128 lanes regardless, so refining a
+    # (N, 128) subspace costs the same wall-clock as (N, k) on TPU while
+    # converging strictly faster (the extra columns seed with random
+    # directions orthogonal to the stage-2 basis; top-k is extracted by
+    # the final eigensolve).  `refine_width` overrides; <= k disables.
+    ell_ref = (
+        lane_fill_width(k, n, d)
+        if cfg.refine_width is None
+        else max(k, min(cfg.refine_width, n, d))
+    )
+    if ell_ref > int(s_basis.shape[1]):
+        fkey = key_for_stage(cfg.seed, "eigensnp_refine_fill")
+        extra = jax.random.normal(
+            fkey, (n, ell_ref - int(s_basis.shape[1])), dtype=jnp.float32
+        )
+        s_basis, _ = jnp.linalg.qr(
+            jnp.concatenate([s_basis, extra], axis=1)
+        )
+
     log.info(
         "EigenSNP global PCA done in %.1fs.",
         _time.perf_counter() - _t_stage,
@@ -624,13 +648,14 @@ def compute_eigensnp_pca(
         # unnecessary.
         fused = hasattr(a, "tsq_and_capture")
         if fused:
-            g, ab = a.tsq_and_capture(s_basis)  # (k, k), (D, k) host
+            g, ab = a.tsq_and_capture(s_basis)  # (l, l), (D, l) host
         else:
-            g = a.tsq_accumulate(s_basis)  # (k, k)
+            g = a.tsq_accumulate(s_basis)  # (l, l)
         evals, w = jnp.linalg.eigh(g)
         order = jnp.argsort(-evals)
-        evals = jnp.maximum(evals[order], 0.0)
-        w = w[:, order]
+        # Top-k of the (possibly lane-filled) refinement subspace.
+        evals = jnp.maximum(evals[order][:k], 0.0)
+        w = w[:, order][:, :k]
         sigma = jnp.sqrt(evals)
         v = s_basis @ w  # (N, k) right singular vectors of A
 

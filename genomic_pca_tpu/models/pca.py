@@ -37,6 +37,25 @@ from genomic_pca_tpu.utils.rng import key_for_stage
 
 log = logging.getLogger(__name__)
 
+MXU_LANES = 128
+
+
+def lane_fill_width(ell: int, n: int, d: int) -> int:
+    """Round a sketch width up to the 128-lane MXU tile (capped by the
+    matrix dims).
+
+    The fused TPU kernels zero-pad the sketch to 128 lanes regardless, so
+    the extra columns are FREE on the hot path — at the reference's
+    defaults (k=10, oversampling 10 -> ell=20,
+    /root/reference/src/main.rs:648-656) ~6x of every hot-loop FLOP was
+    padding; spending those lanes on a wider sketch buys strictly better
+    subspace convergence at identical wall-clock (VALIDATION.md round-1
+    kernel analysis).
+    """
+    cap = min(n, d)
+    filled = -(-ell // MXU_LANES) * MXU_LANES
+    return max(ell, min(filled, cap))
+
 
 @dataclasses.dataclass
 class PcaResult:
@@ -73,12 +92,20 @@ def streamed_pca(
     n_power_iter: int = 4,
     seed: Optional[int] = None,
     compute_loadings: bool = False,
+    lane_fill: bool = True,
 ) -> PcaResult:
-    """Randomized PCA of the implicit standardized matrix A (D x N)."""
+    """Randomized PCA of the implicit standardized matrix A (D x N).
+
+    `lane_fill=True` (default) widens the sketch to the 128-lane MXU
+    tile the kernels pad to anyway — same wall-clock on TPU, strictly
+    better convergence (see `lane_fill_width`).
+    """
     n = matrix.n_samples
     d = matrix.n_rows
     k = validate_k(k, n, d)
     ell = min(k + n_oversamples, min(n, d))
+    if lane_fill:
+        ell = lane_fill_width(ell, n, d)
 
     key = key_for_stage(seed if seed is not None else 0, "rfit_sketch")
     b = jax.random.normal(key, (n, ell), dtype=jnp.float32)

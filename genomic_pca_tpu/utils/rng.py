@@ -26,6 +26,7 @@ STAGE_IDS = {
     "eigensnp_global_sketch": 3,
     "synthetic_data": 4,
     "bench": 5,
+    "eigensnp_refine_fill": 6,
 }
 
 
