@@ -268,6 +268,58 @@ def process_single_vcf(
     return VcfVariantBlock(ids=ids, dosages=np.stack(rows).astype(np.int8))
 
 
+def load_vcf_directory_sharded(
+    vcf_dir: str,
+    maf_threshold: Optional[float],
+    process_index: int,
+    process_count: int,
+    n_workers: int = 0,
+):
+    """Per-host file-sharded VCF parse: this process parses ONLY the
+    files it owns (round-robin by sorted file index — the distributed
+    form of the reference's rayon par_iter over files, main.rs:171-179).
+
+    Returns (canonical_samples, n_files, owned_blocks) where
+    owned_blocks is {file_index: VcfVariantBlock} for files this process
+    owns that had surviving variants.  Every process reads only the
+    FIRST file's header (the canonical sample set, vcf.rs:75-89) plus
+    its own files; global per-file variant counts are for the caller to
+    exchange (see workflows.run_vcf_workflow).
+    """
+    paths = discover_vcf_files(vcf_dir)
+    canonical = read_vcf_sample_names(paths[0])
+    owned = [
+        (i, p) for i, p in enumerate(paths) if i % process_count == process_index
+    ]
+    log.info(
+        "Process %d/%d parsing %d of %d VCF files (%d canonical samples).",
+        process_index,
+        process_count,
+        len(owned),
+        len(paths),
+        len(canonical),
+    )
+
+    if n_workers > 1 and len(owned) > 1:
+        import multiprocessing as mp
+
+        from genomic_pca_tpu.utils.subproc import host_only_children
+
+        with host_only_children():
+            with mp.get_context("spawn").Pool(min(n_workers, len(owned))) as pool:
+                parsed = pool.starmap(
+                    process_single_vcf,
+                    [(p, canonical, maf_threshold) for _i, p in owned],
+                )
+    else:
+        parsed = [process_single_vcf(p, canonical, maf_threshold) for _i, p in owned]
+
+    blocks = {
+        i: blk for (i, _p), blk in zip(owned, parsed) if blk is not None
+    }
+    return canonical, len(paths), blocks
+
+
 def load_vcf_directory(
     vcf_dir: str,
     maf_threshold: Optional[float],

@@ -485,6 +485,144 @@ class ShardedMatrix:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def from_owned_units(
+        unit_counts: np.ndarray,  # (U,) global row count per unit
+        unit_owner: np.ndarray,  # (U,) owning process index per unit
+        local_units,  # {unit_index: (geno, mean, std)} for units THIS process owns
+        n_samples: int,
+        mesh: Optional[Mesh] = None,
+        mode: Optional[str] = None,
+        tile_d: int = 1024,
+        kernel_precision: str = "bf16",
+        packed: bool = False,
+        center_only: bool = False,
+    ) -> "ShardedMatrix":
+        """Multi-host constructor for UNIT-sharded ingestion (per-host VCF
+        file sharding: each process parses only the files it owns —
+        SURVEY §2.3 row 1, the `rayon par_iter` over files of
+        /root/reference/src/main.rs:171-179 made distributed).
+
+        `unit_counts`/`unit_owner` are GLOBAL knowledge (identical on
+        every process): row count and owning process of each unit (e.g.
+        VCF file), in global unit order.  Global PcaSnpId order is unit
+        order (reference file-order aggregation, vcf.rs:293-315); each
+        unit becomes one row segment placed inside its owner's device
+        shard, so genotypes never leave the process that parsed them.
+        With `packed=True` unit genotypes are raw 2-bit rows (sanitized
+        here).  Works unchanged single-process.
+        """
+        mesh = mesh or make_mesh()
+        unit_counts = np.asarray(unit_counts, dtype=np.int64)
+        unit_owner = np.asarray(unit_owner, dtype=np.int64)
+        n_units = len(unit_counts)
+        n_rows = int(unit_counts.sum())
+        proc = jax.process_index()
+        n_proc = jax.process_count()
+
+        # Device ranges per process (canonical contiguous layout).
+        flat = list(mesh.devices.flat)
+        dev_idx_of = {p: [] for p in range(n_proc)}
+        for i, d in enumerate(flat):
+            dev_idx_of.setdefault(d.process_index, []).append(i)
+        ndev_of = {}
+        lo_dev_of = {}
+        for p, idxs in dev_idx_of.items():
+            if not idxs:
+                continue
+            if max(idxs) - min(idxs) + 1 != len(idxs):
+                raise ValueError(
+                    "from_owned_units requires each process's devices to "
+                    "be contiguous in mesh order"
+                )
+            ndev_of[p] = len(idxs)
+            lo_dev_of[p] = min(idxs)
+
+        # Per-process totals -> uniform rows_per_dev (tile_d-aligned).
+        totals = np.zeros(max(n_proc, int(unit_owner.max(initial=0)) + 1),
+                         dtype=np.int64)
+        for u in range(n_units):
+            totals[unit_owner[u]] += unit_counts[u]
+        rows_per_dev = 1
+        for p, nd in ndev_of.items():
+            need = -(-int(totals[p]) // nd)
+            rows_per_dev = max(rows_per_dev, need)
+        rows_per_dev = _round_up(rows_per_dev, tile_d)
+        d_pad = rows_per_dev * len(flat)
+        n_pad = packed_cols(n_samples) if packed else _round_up(n_samples, 128)
+
+        # Global segment table (computed identically on every process):
+        # units in global order, placed consecutively inside their
+        # owner's row range.
+        pca_ofs = np.concatenate([[0], np.cumsum(unit_counts)])
+        local_cursor = {p: 0 for p in ndev_of}
+        segments = []
+        placement = {}  # unit -> matrix_row_start
+        for u in range(n_units):
+            cnt = int(unit_counts[u])
+            if cnt == 0:
+                continue
+            p = int(unit_owner[u])
+            if p not in ndev_of:
+                raise ValueError(f"unit {u} owned by process {p} with no devices")
+            mstart = lo_dev_of[p] * rows_per_dev + local_cursor[p]
+            local_cursor[p] += cnt
+            placement[u] = mstart
+            segments.append((mstart, int(pca_ofs[u]), cnt))
+        segments = np.asarray(
+            sorted(segments, key=lambda s: s[1]), dtype=np.int64
+        ).reshape(-1, 3)
+
+        # Fill this process's local buffer.
+        geno_dtype = np.uint8 if packed else np.int8
+        my_lo = lo_dev_of[proc] * rows_per_dev
+        my_rows = ndev_of[proc] * rows_per_dev
+        g_loc = np.full(
+            (my_rows, n_pad),
+            PACKED_MISSING_BYTE if packed else MISSING,
+            dtype=geno_dtype,
+        )
+        m_loc = np.zeros((my_rows, 1), dtype=np.float32)
+        inv_loc = np.zeros((my_rows, 1), dtype=np.float32)
+        for u, (g, m, s) in local_units.items():
+            if int(unit_owner[u]) != proc:
+                raise ValueError(f"process {proc} supplied unit {u} it does not own")
+            g = np.asarray(g, dtype=geno_dtype)
+            if packed:
+                g = sanitize_partial_byte(g, n_samples)
+            ofs = placement[u] - my_lo
+            g_loc[ofs : ofs + g.shape[0], : g.shape[1]] = g
+            m_loc[ofs : ofs + g.shape[0], 0] = np.asarray(m, dtype=np.float32)
+            s_arr = (
+                np.ones(g.shape[0], dtype=np.float32)
+                if center_only
+                else np.asarray(s, dtype=np.float32)
+            )
+            inv_loc[ofs : ofs + g.shape[0], 0] = inv_std_of(s_arr)
+
+        sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
+        if n_proc == 1:
+            geno = jax.device_put(g_loc, sh)
+            mean = jax.device_put(m_loc, sh)
+            inv = jax.device_put(inv_loc, sh)
+        else:
+            geno = jax.make_array_from_process_local_data(sh, g_loc, (d_pad, n_pad))
+            mean = jax.make_array_from_process_local_data(sh, m_loc, (d_pad, 1))
+            inv = jax.make_array_from_process_local_data(sh, inv_loc, (d_pad, 1))
+        return ShardedMatrix(
+            geno=geno,
+            mean=mean,
+            inv_std=inv,
+            n_rows=n_rows,
+            n_samples=n_samples,
+            mesh=mesh,
+            mode=mode,
+            tile_d=tile_d,
+            kernel_precision=kernel_precision,
+            row_segments=segments,
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
     def from_packed_rows(
         packed_rows: np.ndarray,  # (D, bytes_per_row) uint8 raw PLINK bytes
         mean: np.ndarray,  # (D,) f32

@@ -54,25 +54,37 @@ def run_vcf_workflow(
     """
     timer = StageTimer()
     enable_persistent_cache()
+    n_proc = jax.process_count()
 
     with timer.stage("VCF parsing & filtering"):
-        sample_names, variant_ids, strips = load_vcf_directory(
-            vcf_dir, maf, n_workers=threads
-        )
+        if n_proc == 1:
+            sample_names, variant_ids, strips = load_vcf_directory(
+                vcf_dir, maf, n_workers=threads
+            )
+        else:
+            # Per-host file sharding: each process parses ONLY its own
+            # files (round-robin by sorted index) — the distributed form
+            # of the reference's rayon par_iter over files
+            # (/root/reference/src/main.rs:171-179, SURVEY §2.3 row 1).
+            from genomic_pca_tpu.io.vcf import load_vcf_directory_sharded
+
+            sample_names, n_files, owned_blocks = load_vcf_directory_sharded(
+                vcf_dir, maf, jax.process_index(), n_proc, n_workers=threads
+            )
 
     with timer.stage("Matrix assembly (device strips)"):
-        if jax.process_count() == 1:
-            # Pack dosages to the 2-bit device format (4x less upload
-            # and HBM; VCF mode drops any variant with a missing GT, so
-            # the codes are always clean).  Moments mirror from_arrays:
-            # exact integer histograms, center-without-scale
-            # (tests/pca.py:109 semantics).
-            from genomic_pca_tpu.ops.qc import (
-                dosage_mean_from_counts, genotype_counts_int8_host,
-            )
-            from genomic_pca_tpu.parallel.sharded import pack_int8_rows
+        # Pack dosages to the 2-bit device format (4x less upload and
+        # HBM; VCF mode drops any variant with a missing GT, so the
+        # codes are always clean).  Moments mirror from_arrays: exact
+        # integer histograms, center-without-scale (tests/pca.py:109
+        # semantics).
+        from genomic_pca_tpu.ops.qc import (
+            dosage_mean_from_counts, genotype_counts_int8_host,
+        )
+        from genomic_pca_tpu.parallel.sharded import pack_int8_rows
 
-            n_samples = len(sample_names)
+        n_samples = len(sample_names)
+        if n_proc == 1:
             packed_parts: list = []
             mean_parts: list = []
             for g in strips:
@@ -99,8 +111,40 @@ def run_vcf_workflow(
                 n_samples=n_samples,
             )
         else:
-            # Multi-process SPMD: the replicated-host from_arrays pack.
-            matrix = ShardedMatrix.from_arrays(strips, center_only=True)
+            # Exchange per-file variant counts (the only cross-host
+            # metadata), then assemble the global array with each file's
+            # rows living on the process that parsed it — genotypes
+            # never transit through a single host.
+            from jax.experimental import multihost_utils
+
+            local_counts = np.zeros(n_files, dtype=np.int64)
+            for fi, blk in owned_blocks.items():
+                local_counts[fi] = blk.dosages.shape[0]
+            counts = np.asarray(
+                multihost_utils.process_allgather(local_counts)
+            ).sum(axis=0)
+            if int(counts.sum()) == 0:
+                from genomic_pca_tpu.errors import VcfParseError
+
+                raise VcfParseError(
+                    "No variants passed filters across all VCF files."
+                )
+            owner = np.arange(n_files, dtype=np.int64) % n_proc
+            local_units = {}
+            for fi, blk in owned_blocks.items():
+                g = np.asarray(blk.dosages, dtype=np.int8)
+                m = dosage_mean_from_counts(genotype_counts_int8_host(g))
+                local_units[fi] = (
+                    pack_int8_rows(g), m.astype(np.float32), None
+                )
+            matrix = ShardedMatrix.from_owned_units(
+                counts,
+                owner,
+                local_units,
+                n_samples=n_samples,
+                packed=True,
+                center_only=True,
+            )
     log.info(
         "Assembled %d variants x %d samples (padded to %d x %d, %d-way sharded).",
         matrix.n_rows,

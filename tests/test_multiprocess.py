@@ -45,3 +45,18 @@ def test_two_process_host_qc_packed_load_matches_single():
     assert result["pass"]
     assert result["min_score_abs_r"] > 0.999
     assert result["min_loading_abs_r"] > 0.999
+
+
+def test_two_process_vcf_file_sharding_matches_single():
+    """Per-host VCF file sharding: 2 real processes each parse only
+    their own files (replicated parser is asserted unreachable) and the
+    segmented global assembly matches the single-process workflow."""
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "validate_multiprocess_vcf.py"),
+         "--port", "12979"],
+        capture_output=True, text=True, timeout=560, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["pass"]
+    assert result["min_score_abs_r"] > 0.999

@@ -219,3 +219,68 @@ def test_assignment_fast_path_matches_bruteforce(rng):
     ]
     got_ov = assign_first_containing_block(chroms, bp, blocks_ov)
     np.testing.assert_array_equal(got_ov, brute(blocks_ov))
+
+
+# ---------------------------------------------------------------------
+# from_owned_units (per-host unit-sharded ingestion, single-process)
+# ---------------------------------------------------------------------
+
+def test_from_owned_units_matches_from_arrays(rng):
+    """Unit-sharded assembly (the per-host VCF file-sharding layout) must
+    match the plain concatenated pack numerically: same gram/tsq
+    outputs, loadings in global unit order."""
+    from genomic_pca_tpu.ops.qc import (
+        dosage_mean_from_counts, genotype_counts_int8_host,
+    )
+    from genomic_pca_tpu.parallel.sharded import pack_int8_rows
+
+    n_samples = 40
+    counts = [70, 0, 45, 33]
+    genos = [
+        make_genotypes(rng, c, n_samples, missing_rate=0.0) if c else
+        np.zeros((0, n_samples), np.int8)
+        for c in counts
+    ]
+    mesh = make_mesh(jax.devices()[:2])
+
+    local_units = {}
+    for u, g in enumerate(genos):
+        if len(g) == 0:
+            continue
+        m = dosage_mean_from_counts(genotype_counts_int8_host(g))
+        local_units[u] = (pack_int8_rows(g), m.astype(np.float32), None)
+    seg = ShardedMatrix.from_owned_units(
+        np.asarray(counts), np.zeros(4, np.int64), local_units,
+        n_samples=n_samples, mesh=mesh, tile_d=32, packed=True,
+        center_only=True,
+    )
+    ref = ShardedMatrix.from_arrays(
+        iter([np.concatenate(genos)]), center_only=True, mesh=mesh,
+        tile_d=32,
+    )
+    assert seg.row_segments is not None and len(seg.row_segments) == 3
+    b = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n_samples, 6)),
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seg.gram_apply(b)), np.asarray(ref.gram_apply(b)),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seg.tsq_accumulate(b)), np.asarray(ref.tsq_accumulate(b)),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        seg.right_apply(b), ref.right_apply(b), rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_from_owned_units_rejects_foreign_unit(rng):
+    g = make_genotypes(rng, 8, 16, missing_rate=0.0)
+    mesh = make_mesh(jax.devices()[:1])
+    with pytest.raises(ValueError, match="no devices"):
+        ShardedMatrix.from_owned_units(
+            np.asarray([8]), np.asarray([3]), {0: (g, np.zeros(8), None)},
+            n_samples=16, mesh=mesh, tile_d=8, center_only=True,
+        )
