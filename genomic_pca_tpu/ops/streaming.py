@@ -97,9 +97,20 @@ class StreamingMatrix:
         prefetch_depth: int = 3,
         prefetch_workers: int = 4,
         packed: bool = False,
+        devices=None,
     ):
         from genomic_pca_tpu.parallel.sharded import auto_tile_d, packed_cols
 
+        # Multi-chip streaming: strips round-robin across the mesh's
+        # local devices (strip i -> device i mod D), so HBM ingest
+        # bandwidth, the host->device link, and the per-strip kernels
+        # all scale with the device count.  Each device keeps its own
+        # partial accumulator; the small condensed factors ((N, l) /
+        # (l, l)) merge once per pass at the end — the streaming analog
+        # of ShardedMatrix's variant-axis psum.
+        self.devices = (
+            list(devices) if devices is not None else jax.local_devices()
+        )
         self._source = strip_source
         self.n_strips = n_strips
         self.n_rows = n_rows
@@ -181,10 +192,11 @@ class StreamingMatrix:
             g = np.pad(g, ((0, pad), (0, 0)), constant_values=fill)
             m = np.pad(m, (0, pad))
             inv = np.pad(inv, (0, pad))  # inv_std = 0: inert rows
+        dev = self.devices[i % len(self.devices)]
         payload = (
-            jax.device_put(g),
-            jax.device_put(m.reshape(-1, 1)),
-            jax.device_put(inv.reshape(-1, 1)),
+            jax.device_put(g, dev),
+            jax.device_put(m.reshape(-1, 1), dev),
+            jax.device_put(inv.reshape(-1, 1), dev),
         )
         return payload, g.nbytes
 
@@ -259,33 +271,59 @@ class StreamingMatrix:
             return _xla_strip_gram_packed(g, m, iv, b)
         return _xla_strip_gram(g, m, iv, b)
 
+    # ---- multi-device accumulation helpers ---------------------------
+    def _replicate_b(self, bp: jax.Array):
+        """Replicate the padded sketch onto every streaming device."""
+        return [jax.device_put(bp, d) for d in self.devices]
+
+    def _combine(self, accs: dict) -> jax.Array:
+        """Merge per-device partial accumulators (one small transfer per
+        extra device — the streaming analog of the psum over "v")."""
+        dev0 = self.devices[0]
+        total = None
+        for d in self.devices:
+            if d not in accs:
+                continue
+            part = accs[d] if d is dev0 else jax.device_put(accs[d], dev0)
+            total = part if total is None else total + part
+        return total
+
     # ---- public passes ----------------------------------------------
     def gram_apply(self, b: jax.Array) -> jax.Array:
         ell = b.shape[1]
         bp = self._pad_b(b)
-        acc = jnp.zeros((self.n_pad, bp.shape[1]), dtype=jnp.float32)
-        for g, m, iv in self._prefetcher():
-            acc = acc + self._strip_gram(g, m, iv, bp)
+        bps = self._replicate_b(bp)
+        accs: dict = {}
+        for i, (g, m, iv) in enumerate(self._prefetcher()):
+            d = self.devices[i % len(self.devices)]
+            part = self._strip_gram(g, m, iv, bps[i % len(self.devices)])
+            accs[d] = part if d not in accs else accs[d] + part
+        acc = self._combine(accs)
         return self._unperm(acc)[: self.n_samples, :ell]
 
     def tsq_accumulate(self, b: jax.Array) -> jax.Array:
         ell = b.shape[1]
         bp = self._pad_b(b)
-        acc = jnp.zeros((bp.shape[1], bp.shape[1]), dtype=jnp.float32)
-        for g, m, iv in self._prefetcher():
-            w = self._strip_right(g, m, iv, bp)
-            acc = acc + jnp.dot(
+        bps = self._replicate_b(bp)
+        accs: dict = {}
+        for i, (g, m, iv) in enumerate(self._prefetcher()):
+            d = self.devices[i % len(self.devices)]
+            w = self._strip_right(g, m, iv, bps[i % len(self.devices)])
+            part = jnp.dot(
                 w.T, w, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            accs[d] = part if d not in accs else accs[d] + part
+        acc = self._combine(accs)
         return acc[:ell, :ell]
 
     def right_apply(self, b: jax.Array) -> np.ndarray:
         ell = b.shape[1]
         bp = self._pad_b(b)
+        bps = self._replicate_b(bp)
         outs = []
         for i, (g, m, iv) in enumerate(self._prefetcher()):
-            w = self._strip_right(g, m, iv, bp)
+            w = self._strip_right(g, m, iv, bps[i % len(self.devices)])
             # real (unpadded) rows of strip i — strips may be row-padded
             # past strip_size to the kernel-grid multiple.  Slice rows
             # AND the padded sketch columns on device: fetching the full
@@ -310,14 +348,18 @@ class StreamingMatrix:
         """
         ell = b.shape[1]
         bp = self._pad_b(b)
-        acc = jnp.zeros((bp.shape[1], bp.shape[1]), dtype=jnp.float32)
+        bps = self._replicate_b(bp)
+        accs: dict = {}
         outs = []
         for i, (g, m, iv) in enumerate(self._prefetcher()):
-            w = self._strip_right(g, m, iv, bp)
-            acc = acc + jnp.dot(
+            d = self.devices[i % len(self.devices)]
+            w = self._strip_right(g, m, iv, bps[i % len(self.devices)])
+            part = jnp.dot(
                 w.T, w, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            accs[d] = part if d not in accs else accs[d] + part
             real = min(self.strip_size, self.n_rows - i * self.strip_size)
             outs.append(np.asarray(w[:real, :ell]))
+        acc = self._combine(accs)
         return acc[:ell, :ell], np.concatenate(outs, axis=0)

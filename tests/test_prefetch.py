@@ -247,3 +247,46 @@ def test_streamed_pca_fused_loadings_match(tmp_path, rng):
     np.testing.assert_allclose(
         r_stream.singular_values, r_resident.singular_values, rtol=1e-4
     )
+
+
+def test_streaming_strips_round_robin_across_devices(tmp_path, rng):
+    """Multi-chip streaming: strips land on mesh devices round-robin and
+    the merged factors match a single-device streaming run."""
+    import jax
+    import jax.numpy as jnp
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.models.prepare import prepare_data
+    from genomic_pca_tpu.config import DataPrepConfig
+
+    devs = jax.local_devices()
+    assert len(devs) >= 2, "conftest provides 8 virtual devices"
+
+    geno = make_genotypes(rng, 300, 40, missing_rate=0.01)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, geno, bp=list(range(10, 3010, 10)))
+    blocks = tmp_path / "blocks.tsv"
+    blocks.write_text("1 1 4000\n")
+    cfg = DataPrepConfig(bed_path=prefix, ld_block_path=str(blocks))
+    prep = prepare_data(cfg)
+
+    sm_multi = prep.load_streaming_matrix(strip_size=64)
+    sm_single = prep.load_streaming_matrix(strip_size=64, devices=devs[:1])
+    assert len(sm_multi.devices) == len(devs)
+
+    # Strip i commits to device i mod D.
+    (g0, _m0, _iv0), _ = sm_multi._fetch(0)
+    (g1, _m1, _iv1), _ = sm_multi._fetch(1)
+    assert list(g0.devices())[0] == devs[0]
+    assert list(g1.devices())[0] == devs[1]
+
+    b = jnp.asarray(rng.standard_normal((prep.n_samples, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sm_multi.gram_apply(b)),
+        np.asarray(sm_single.gram_apply(b)),
+        rtol=1e-5, atol=1e-3,
+    )
+    g_m, ab_m = sm_multi.tsq_and_capture(b)
+    g_s, ab_s = sm_single.tsq_and_capture(b)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_s),
+                               rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(ab_m, ab_s, rtol=1e-5, atol=1e-3)
