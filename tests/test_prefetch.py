@@ -38,16 +38,86 @@ def test_prefetcher_error_propagates():
     assert out == [0, 1, 2, 3, 4]
 
 
-def test_prefetcher_autoscale_signal():
+def test_prefetcher_autoscale_scales_up_under_slow_producer():
+    """Slow producers + fast consumer: the controller must observe the
+    starvation at its eval interval and grow the pool (the reference's
+    queue > 3x actors rule, prepare.rs:772-822)."""
     def slow_fetch(i):
-        time.sleep(0.01)
+        time.sleep(0.02)
         return i, 100
 
-    p = StripPrefetcher(slow_fetch, 30, depth=4, max_workers=4)
+    p = StripPrefetcher(
+        slow_fetch, 80, depth=4, max_workers=4,
+        eval_interval_s=0.05, cooldown_s=0.05,
+    )
     _ = list(p)
-    # slow producers should trigger scale-up
+    assert p.telemetry.scale_ups >= 1
     assert p.telemetry.workers_high_water >= 2
     assert p.throughput_bps() >= 0.0
+
+
+def test_prefetcher_autoscale_scales_down_under_slow_consumer():
+    """Fast producers + slow consumer: the buffer sits full with no
+    starvation, so the controller retires workers (the reference's
+    queue < 1.5x actors rule, prepare.rs:823-845)."""
+    def fetch(i):
+        return i, 100
+
+    p = StripPrefetcher(
+        fetch, 60, depth=3, max_workers=4, initial_workers=4,
+        eval_interval_s=0.05, cooldown_s=0.05,
+    )
+    for _x in p:
+        time.sleep(0.01)  # slow consumer
+    assert p.telemetry.scale_downs >= 1
+    assert p._target_workers < 4
+
+
+def test_prefetcher_controller_decision_rules():
+    """The controller's decision function, exercised deterministically
+    for all three rules (scale-up on starvation, probe revert when the
+    extra worker bought no throughput, retire on idle backpressure)."""
+    p = StripPrefetcher(lambda i: (i, 1), 100, depth=4, max_workers=4)
+
+    # Starved + under-filled buffer -> scale up, probe records Bps.
+    p._target_workers = 1
+    action, probe = p._decide(
+        backlog=0, starved_since=3, remaining=50, bps=1000.0, probe=None
+    )
+    assert action == "up" and probe == 1000.0
+
+    # Next eval: starvation stopped, throughput unchanged -> revert.
+    p._target_workers = 2
+    action, probe = p._decide(
+        backlog=2, starved_since=0, remaining=40, bps=1010.0, probe=1000.0
+    )
+    assert action == "down_probe"
+
+    # Throughput DID improve >= 5% -> keep the worker.
+    action, _ = p._decide(
+        backlog=2, starved_since=0, remaining=40, bps=1200.0, probe=1000.0
+    )
+    assert action == "hold"
+
+    # Still starving -> keep the worker even with flat throughput.
+    action, _ = p._decide(
+        backlog=0, starved_since=2, remaining=40, bps=1000.0, probe=1000.0
+    )
+    assert action == "up"  # and keeps growing
+
+    # Full buffer, no starvation -> idle retire.
+    p._target_workers = 3
+    action, _ = p._decide(
+        backlog=4, starved_since=0, remaining=40, bps=1000.0, probe=None
+    )
+    assert action == "down_idle"
+
+    # At one worker, never retire below the floor.
+    p._target_workers = 1
+    action, _ = p._decide(
+        backlog=4, starved_since=0, remaining=40, bps=1000.0, probe=None
+    )
+    assert action == "hold"
 
 
 def test_streaming_matrix_matches_resident(tmp_path, rng):
