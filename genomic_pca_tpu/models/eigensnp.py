@@ -63,6 +63,13 @@ def _bucket_rows(d: int, bucket: int = 512) -> int:
     return max(bucket, ((d + bucket - 1) // bucket) * bucket)
 
 
+def _dot_hi(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 @jax.jit
 def _project_blocks_batched(u: jax.Array, x: jax.Array) -> jax.Array:
     """Batched U_b^T X_b: (B, bucket, c) x (B, bucket, N) -> (B, c, N)."""
@@ -468,6 +475,7 @@ def compute_eigensnp_pca(
     diag: Optional[Dict] = {"blocks": []} if cfg.collect_diagnostics else None
     import time as _time
 
+    stage_seconds: Dict[str, float] = {}
     _t_stage = _time.perf_counter()
 
     # ---- Matrix container (loaded FIRST) ------------------------------
@@ -499,10 +507,11 @@ def compute_eigensnp_pca(
                 "missing_policy='error' (reference accessor semantics, "
                 "prepare.rs:1906-1911)."
             )
+    stage_seconds["matrix_load"] = _time.perf_counter() - _t_stage
     log.info(
         "EigenSNP matrix loaded (%s path) in %.1fs.",
         "device-resident" if use_device else "host-accessor",
-        _time.perf_counter() - _t_stage,
+        stage_seconds["matrix_load"],
     )
     _t_stage = _time.perf_counter()
 
@@ -537,6 +546,7 @@ def compute_eigensnp_pca(
         if diag is not None and svals is not None:
             for b_idx, block in enumerate(prep.blocks):
                 d_b = len(block.pca_snp_ids)
+                ids = block.pca_snp_ids
                 diag["blocks"].append(
                     {
                         "tag": block.tag,
@@ -544,6 +554,8 @@ def compute_eigensnp_pca(
                         "num_local_components": int(
                             min(cfg.components_per_block, d_b, len(subset))
                         ),
+                        "pca_snp_id_start": int(ids[0]) if d_b else -1,
+                        "pca_snp_id_end": int(ids[-1]) if d_b else -1,
                         "local_singular_values": svals[b_idx].tolist(),
                     }
                 )
@@ -551,12 +563,25 @@ def compute_eigensnp_pca(
             "stage1_bases",
             {f"block_{i}": u for i, u in enumerate(local_bases)},
         )
+    stage_seconds["stages_1_2"] = _time.perf_counter() - _t_stage
     log.info(
         "EigenSNP stages 1+2: condensed matrix %s in %.1fs.",
         tuple(y.shape),
-        _time.perf_counter() - _t_stage,
+        stage_seconds["stages_1_2"],
     )
     _t_stage = _time.perf_counter()
+
+    condensed_spectrum: Optional[np.ndarray] = None
+    if diag is not None:
+        # Full singular spectrum of the condensed (C, N) matrix via an
+        # eigensolve over its smaller Gram (diagnostics-gated; the
+        # production path never materializes this).
+        c_rows = int(y.shape[0])
+        gram_small = (
+            _dot_hi(y, y.T) if c_rows <= n else _dot_hi(y.T, y)
+        )
+        sp = jnp.sqrt(jnp.maximum(jnp.linalg.eigvalsh(gram_small), 0.0))
+        condensed_spectrum = np.asarray(sp)[::-1].copy()
 
     c_total = int(y.shape[0])
     if c_total < k:
@@ -605,9 +630,9 @@ def compute_eigensnp_pca(
             jnp.concatenate([s_basis, extra], axis=1)
         )
 
+    stage_seconds["global_pca"] = _time.perf_counter() - _t_stage
     log.info(
-        "EigenSNP global PCA done in %.1fs.",
-        _time.perf_counter() - _t_stage,
+        "EigenSNP global PCA done in %.1fs.", stage_seconds["global_pca"]
     )
     _t_stage = _time.perf_counter()
 
@@ -617,8 +642,15 @@ def compute_eigensnp_pca(
     # eigensolve -> loadings in ONE compile/dispatch) on the matrix
     # container loaded above.  Streamed/striped containers without
     # pca_core fall back to per-pass dispatches with per-pass
-    # checkpointing.
-    if hasattr(a, "pca_core") and not ckpt.enabled and cfg.refine_passes >= 1:
+    # checkpointing; diagnostics runs also take the per-pass path so
+    # refinement convergence (subspace residual per pass) is observable.
+    refine_residuals: List[float] = []
+    if (
+        hasattr(a, "pca_core")
+        and not ckpt.enabled
+        and diag is None
+        and cfg.refine_passes >= 1
+    ):
         v_k, sigma_k, evals_k, loadings = a.pca_core(
             s_basis, cfg.refine_passes, k
         )
@@ -636,7 +668,18 @@ def compute_eigensnp_pca(
                 break
         for p in range(start_pass, cfg.refine_passes):
             t = a.gram_apply(s_basis)  # A^T A S, one streamed pass
-            s_basis, _ = jnp.linalg.qr(t)
+            s_new, _ = jnp.linalg.qr(t)
+            if diag is not None:
+                # Subspace residual: sin of the largest principal angle
+                # between consecutive bases — the convergence series of
+                # the refinement (FullPcaRunDetailedDiagnostics analog,
+                # /root/reference/src/main.rs:410-432).
+                cosines = jnp.linalg.svd(
+                    _dot_hi(s_new.T, s_basis), compute_uv=False
+                )
+                smin = float(jnp.clip(jnp.min(cosines), 0.0, 1.0))
+                refine_residuals.append(float(np.sqrt(max(0.0, 1.0 - smin**2))))
+            s_basis = s_new
             ckpt.save(f"refine_pass_{p}", {"s_basis": np.asarray(s_basis)})
             log.info(
                 "EigenSNP refinement pass %d/%d done.", p + 1, cfg.refine_passes
@@ -673,20 +716,44 @@ def compute_eigensnp_pca(
             )
         eigenvalues = np.asarray(evals, dtype=np.float64) / max(n - 1, 1)
 
+    stage_seconds["refinement_finalize"] = _time.perf_counter() - _t_stage
     log.info(
         "EigenSNP refinement + finalization done in %.1fs.",
-        _time.perf_counter() - _t_stage,
+        stage_seconds["refinement_finalize"],
     )
 
     if diag is not None:
+        # Faithful analog of the reference's FullPcaRunDetailedDiagnostics
+        # dump (/root/reference/src/main.rs:410-432): per-block stage-1
+        # detail, condensed spectrum, refinement convergence, stage
+        # wall-times, and the final spectrum.
         diag["global"] = {
             "condensed_features": int(y.shape[0]),
             "k_global": int(k),
             "refine_passes": int(cfg.refine_passes),
+            "refine_width": int(ell_ref),
+            "sample_subset_size": int(len(subset)),
             "singular_values": np.asarray(sigma).tolist(),
+            "final_eigenvalues": np.asarray(eigenvalues).tolist(),
+            "condensed_spectrum": (
+                condensed_spectrum.tolist()
+                if condensed_spectrum is not None
+                else []
+            ),
+        }
+        diag["refinement"] = {
+            "passes_run": int(cfg.refine_passes),
+            "subspace_residual_per_pass": refine_residuals,
+        }
+        diag["stage_seconds"] = {
+            s: round(t, 3) for s, t in stage_seconds.items()
         }
         diag["num_pca_snps"] = int(d)
         diag["num_qc_samples"] = int(n)
+        diag["num_ld_blocks"] = int(len(prep.blocks))
+        diag["matrix_path"] = (
+            "device-resident" if use_device else "host-accessor"
+        )
 
     return EigenSnpResult(
         scores=scores,

@@ -148,6 +148,54 @@ def test_diagnostics_collection(tmp_path, rng):
     assert res.diagnostics["global"]["k_global"] == 3
 
 
+def test_diagnostics_golden_schema(tmp_path, rng):
+    """The diagnostics JSON is a faithful FullPcaRunDetailedDiagnostics
+    analog (main.rs:410-432): golden-file check of its structure plus
+    content invariants (spectrum length, residual series, timings)."""
+    import json
+    from pathlib import Path
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=200, n_samples=40)
+    prep = prepare_data(cfg)
+    algo = EigenSnpConfig(
+        k_global=3, min_subset_size=10, collect_diagnostics=True,
+        snp_strip_size=128, refine_passes=2,
+    )
+    diag = compute_eigensnp_pca(prep, algo).diagnostics
+
+    def schema(x):
+        if isinstance(x, dict):
+            return {k: schema(v) for k, v in sorted(x.items())}
+        if isinstance(x, list):
+            return [schema(x[0])] if x else []
+        return type(x).__name__
+
+    golden_path = Path(__file__).parent / "golden" / "eigensnp_diagnostics_schema.json"
+    golden = json.loads(golden_path.read_text())
+    # Normalize int/float distinction (json round-trips both as numbers).
+    got = json.loads(json.dumps(schema(diag)))
+    assert got == golden, (
+        f"diagnostics schema drifted:\n{json.dumps(got, indent=1)}"
+    )
+
+    # Content invariants.
+    g = diag["global"]
+    assert len(g["condensed_spectrum"]) == g["condensed_features"]
+    assert len(g["final_eigenvalues"]) == g["k_global"]
+    assert g["refine_width"] >= g["k_global"]
+    assert len(diag["refinement"]["subspace_residual_per_pass"]) == 2
+    assert all(0.0 <= r <= 1.0
+               for r in diag["refinement"]["subspace_residual_per_pass"])
+    assert set(diag["stage_seconds"]) == {
+        "matrix_load", "stages_1_2", "global_pca", "refinement_finalize",
+    }
+    spec = g["condensed_spectrum"]
+    assert all(a >= b - 1e-6 for a, b in zip(spec, spec[1:]))  # descending
+    for b in diag["blocks"]:
+        assert b["pca_snp_id_end"] >= b["pca_snp_id_start"] >= 0
+        assert len(b["local_singular_values"]) == b["num_local_components"]
+
+
 def test_no_blocks_raises(tmp_path, rng):
     geno, prefix, cfg = _setup(tmp_path, rng, n_snps=100, n_samples=30)
     empty_blocks = tmp_path / "empty.tsv"
