@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genomic_pca_tpu.errors import ComputeError
-from genomic_pca_tpu.ops.stream import StripedMatrix
+from genomic_pca_tpu.ops.operator import StandardizedOperator
 from genomic_pca_tpu.utils.rng import key_for_stage
 
 log = logging.getLogger(__name__)
@@ -86,7 +86,7 @@ def validate_k(k: int, n_samples: int, n_features: int) -> int:
 
 
 def streamed_pca(
-    matrix: StripedMatrix,
+    matrix: StandardizedOperator,
     k: int,
     n_oversamples: int = 10,
     n_power_iter: int = 4,

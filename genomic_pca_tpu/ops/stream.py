@@ -1,9 +1,22 @@
-"""Streamed standardized-genotype linear algebra over int8 strips.
+"""Strip kernels + the reference (test-oracle) operator container.
 
-This is the framework's compute backbone, replacing both the reference's
-dense in-memory matrix path (/root/reference/src/vcf.rs:317-345 +
-efficient_pca `rfit`) and its lazy block accessor
-(/root/reference/src/prepare.rs:1838-2029) with one TPU-native engine:
+Two things live here:
+
+1. The jitted per-strip primitives `_strip_gram_apply` /
+   `_strip_right_apply` — the plain-XLA form of the fused
+   standardize-and-multiply pass, shared by the streaming container's
+   XLA fallback and the driver's compile-check entry.
+2. `StripedMatrix` — the SIMPLEST implementation of the
+   `ops.operator.StandardizedOperator` contract (a Python list of
+   device strips, no mesh, no Pallas, no prefetch).  It exists as the
+   independent, obviously-correct oracle the production containers
+   (`parallel.sharded.ShardedMatrix`, `ops.streaming.StreamingMatrix`)
+   are cross-checked against in tests; no production workflow
+   constructs it.  See ops/operator.py for the role split.
+
+The operator semantics replace both the reference's dense in-memory
+matrix path (/root/reference/src/vcf.rs:317-345 + efficient_pca `rfit`)
+and its lazy block accessor (/root/reference/src/prepare.rs:1838-2029):
 
 * Genotypes live as int8 SNP-major strips (missing = -127, the reference
   sentinel, prepare.rs:1224) either resident in device HBM or streamed

@@ -1,7 +1,7 @@
 """Host-streamed standardized matrix for bigger-than-HBM datasets.
 
-Same duck-typed contract as parallel/sharded.ShardedMatrix (n_samples,
-n_rows, gram_apply, tsq_accumulate, right_apply) but the genotype strips
+Implements `ops.operator.StandardizedOperator` (see ops/operator.py for
+the container role split) but the genotype strips
 live on HOST (disk via BedReader, or RAM) and stream through the prefetch
 pipeline (io/prefetch.py) each pass, double-buffered against device
 compute.  This is the reference's lazy accessor + IoService combination

@@ -122,10 +122,27 @@ def _default_mode() -> str:
     return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
 
-# VMEM budget for kernel working sets, calibrated against measured v5e
-# limits: bf16 mode fits tile_d=1024 at N=2048 but tile_d=2048 fails to
-# compile; f32 mode fits tile_d=512 but not 1024 (scripts/tune_kernels.py).
-_VMEM_BUDGET = int(15.5 * 1024 * 1024)
+# VMEM budget for kernel working sets.  The 15.5 MiB floor is
+# calibrated against measured v5e limits: bf16 mode fits tile_d=1024 at
+# N=2048 but tile_d=2048 fails to compile; f32 mode fits tile_d=512 but
+# not 1024 (scripts/tune_kernels.py).  v4/v5-generation cores carry
+# ~16 MiB of VMEM (pallas guide); Trillium-class (v6e) doubles it, so
+# the budget scales by device kind.  Unknown kinds keep the
+# conservative floor — a smaller budget only shrinks tiles, it never
+# breaks compilation.
+_VMEM_FLOOR = int(15.5 * 1024 * 1024)
+
+
+@functools.lru_cache(maxsize=1)
+def vmem_budget_bytes() -> int:
+    """Per-core VMEM working-set budget derived from the device kind."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # backend not initialized / no devices
+        return _VMEM_FLOOR
+    if "v6" in kind or "trillium" in kind:
+        return 2 * _VMEM_FLOOR
+    return _VMEM_FLOOR
 
 
 def auto_tile_d(
@@ -147,9 +164,10 @@ def auto_tile_d(
     bf16 = precision != "f32"
     fixed = n_pad * ell_pad * (4 + (2 if bf16 else 4)) + n_pad * ell_pad * 4
     per_row = n_pad * ((2 * 1 + 2 + 2) if bf16 else (2 * 1 + 4 + 4))
-    tile = min(requested, 1024)
+    budget = vmem_budget_bytes()
+    tile = min(requested, 2048)
     while tile >= 32:
-        if fixed + tile * per_row <= _VMEM_BUDGET:
+        if fixed + tile * per_row <= budget:
             return tile
         tile //= 2
     return 0
@@ -229,11 +247,10 @@ def _slice_blocks_standardized_packed(
 class ShardedMatrix:
     """Standardized genotype operator sharded over the variant axis.
 
-    API contract (duck-typed with ops/stream.StripedMatrix so the PCA
-    models run on either):
-      n_samples, n_rows,
-      gram_apply(B) -> (N, l), tsq_accumulate(B) -> (l, l),
-      right_apply(B) -> host (D, l).
+    Implements `ops.operator.StandardizedOperator` (n_samples, n_rows,
+    gram_apply, tsq_accumulate, right_apply) plus every optional fast
+    path (power_iterate, pca_core) — the production HBM-resident
+    container; see ops/operator.py for the container role split.
     """
 
     def __init__(
