@@ -136,6 +136,199 @@ def _batched_rsvd(k: int, n_oversamples: int, n_power_iter: int):
     return jax.jit(jax.vmap(one))
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_stage12_device_prog(
+    packed: bool,
+    bucket: int,
+    c_b: int,
+    n_os: int,
+    n_pi: int,
+    full_cols: bool,
+):
+    """ONE compiled program for a whole stage-1+2 block group: slice the
+    blocks from the resident matrix, restrict to the sample subset,
+    batched local rSVD, and project ALL samples through the bases.
+
+    Replaces four separate programs per group (subset slice, full
+    slice, rsvd, projection) — fewer relay round-trips cold, and the
+    full-width f32 blocks never leave the program.
+    """
+    from genomic_pca_tpu.parallel.sharded import (
+        _slice_blocks_impl, _slice_blocks_packed_impl,
+    )
+
+    impl = _slice_blocks_packed_impl if packed else _slice_blocks_impl
+
+    @jax.jit
+    def run(geno, mean, inv, starts, lens, subset_idx, keys):
+        xs_full = impl(geno, mean, inv, starts, lens, None, bucket)
+        if full_cols:
+            xs_sub = xs_full[:, :, : subset_idx.shape[0]]
+        else:
+            xs_sub = impl(geno, mean, inv, starts, lens, subset_idx, bucket)
+
+        def one(x, key):
+            return rsvd(x, key, k=c_b, n_oversamples=n_os, n_power_iter=n_pi)
+
+        u, s, _ = jax.vmap(one)(xs_sub, keys)
+        out = jax.lax.dot_general(
+            u, xs_full,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return u, s, out
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_stage12_host_packed_prog(
+    c_b: int, n_os: int, n_pi: int, n_cols: int, full_cols: bool
+):
+    """Fused stage-1+2 for host-accessor PACKED batches: each block's
+    raw PLINK bytes upload ONCE and both the subset rSVD and the
+    all-samples projection happen in one program — the previous
+    structure uploaded every block twice (stage-1 subset fetch, then
+    stage-2 full fetch), which doubled the streaming path's link
+    traffic."""
+
+    @jax.jit
+    def run(pk8, mean, inv, subset_idx, keys):
+        xs_full = _standardize_packed_stack(pk8, mean, inv, n_cols)
+        if full_cols:
+            xs_sub = xs_full
+        else:
+            xs_sub = _standardize_packed_stack_cols(pk8, mean, inv, subset_idx)
+
+        def one(x, key):
+            return rsvd(x, key, k=c_b, n_oversamples=n_os, n_power_iter=n_pi)
+
+        u, s, _ = jax.vmap(one)(xs_sub, keys)
+        out = _project_blocks_batched(u, xs_full)
+        return u, s, out
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_stage12_host_dense_prog(
+    c_b: int, n_os: int, n_pi: int, full_cols: bool
+):
+    """Fused stage-1+2 for host-accessor DENSE (f32) batches: the
+    full-width standardized block uploads once; the subset extracts on
+    device (saves the separate subset-width upload)."""
+
+    @jax.jit
+    def run(xs_full, subset_idx, keys):
+        xs_sub = (
+            xs_full if full_cols else jnp.take(xs_full, subset_idx, axis=2)
+        )
+
+        def one(x, key):
+            return rsvd(x, key, k=c_b, n_oversamples=n_os, n_power_iter=n_pi)
+
+        u, s, _ = jax.vmap(one)(xs_sub, keys)
+        out = _project_blocks_batched(u, xs_full)
+        return u, s, out
+
+    return run
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_os", "n_pi", "ell_ref")
+)
+def _global_basis_prog(y, gkey, fkey, k, n_os, n_pi, ell_ref):
+    """Stage-2 global rSVD + lane-fill widening as ONE program: rsvd of
+    the condensed matrix, orthonormal score basis, random widening to
+    the refinement width, final QR.  (Previously ~6 separate small
+    programs — each a relay round-trip on cold start.)"""
+    n = y.shape[1]
+    _, _, vt_g = rsvd(y, gkey, k=k, n_oversamples=n_os, n_power_iter=n_pi)
+    s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k)
+    if ell_ref > k:
+        extra = jax.random.normal(fkey, (n, ell_ref - k), dtype=jnp.float32)
+        s_basis, _ = jnp.linalg.qr(
+            jnp.concatenate([s_basis, extra], axis=1)
+        )
+    return s_basis
+
+
+@functools.lru_cache(maxsize=None)
+def _finish_parts_jit(n: int):
+    """Fetch-side assembly as ONE program: flatten every base and
+    singular-value batch, and gather the condensed matrix rows.  Shapes
+    differ per run layout; jit retraces per layout (one program per
+    workflow shape instead of ~10 reshape/concat programs)."""
+
+    @jax.jit
+    def run(us, ss, outs, perm):
+        u_flat = jnp.concatenate([u.reshape(-1) for u in us]) if us else None
+        s_flat = jnp.concatenate([s.reshape(-1) for s in ss]) if ss else None
+        y_cat = jnp.concatenate(
+            [o.reshape(o.shape[0] * o.shape[1], -1)[:, :n] for o in outs]
+        )
+        y = jnp.take(y_cat, perm, axis=0)
+        return u_flat, s_flat, y
+
+    return run
+
+
+def _finish_parts_prog(us, ss, outs, perm, n: int):
+    return _finish_parts_jit(n)(us, ss, outs, perm)
+
+
+def _assemble_condensed(parts, n: int, n_blocks: int):
+    """Shared stage-1+2 finisher: fetch all bases/singular values in ONE
+    flattened transfer each, and assemble the condensed matrix on device
+    with a single permutation gather — all in one compiled program.
+
+    `parts` is [(chunk, c_b, u_dev, s_dev or None, out_dev)] in any
+    order; returns (bases dict, svals dict, y device (C, n)).
+    """
+    bases: Dict[int, np.ndarray] = {}
+    svals: Dict[int, np.ndarray] = {}
+    with_s = [p for p in parts if p[3] is not None]
+
+    # Permutation over the PADDED concatenation of all out batches
+    # (batch-padding rows are skipped, real rows land in block order).
+    row_start: Dict[int, int] = {}
+    row_cnt: Dict[int, int] = {}
+    cursor = 0
+    for chunk, c_b, _u, _s, out in parts:
+        for j, i in enumerate(chunk):
+            row_start[i] = cursor + j * c_b
+            row_cnt[i] = c_b
+        cursor += out.shape[0] * c_b
+    perm = np.concatenate(
+        [
+            np.arange(row_start[i], row_start[i] + row_cnt[i], dtype=np.int32)
+            for i in range(n_blocks)
+        ]
+    )
+
+    u_flat, s_flat, y = _finish_parts_prog(
+        [p[2] for p in with_s],
+        [p[3] for p in with_s],
+        [p[4] for p in parts],
+        jnp.asarray(perm),
+        n,
+    )
+    if with_s:
+        u_flat = np.asarray(u_flat)
+        s_flat = np.asarray(s_flat)
+        u_ofs = s_ofs = 0
+        for chunk, _c_b, u_dev, s_dev, _out in with_s:
+            u_np = u_flat[u_ofs : u_ofs + u_dev.size].reshape(u_dev.shape)
+            s_np = s_flat[s_ofs : s_ofs + s_dev.size].reshape(s_dev.shape)
+            u_ofs += u_dev.size
+            s_ofs += s_dev.size
+            for j, i in enumerate(chunk):
+                bases[i] = u_np[j]
+                svals[i] = s_np[j]
+    return bases, svals, y
+
+
 def _pow2_at_most(x: int) -> int:
     p = 1
     while p * 2 <= x:
@@ -171,15 +364,29 @@ def _blocks_as_runs(blocks) -> Optional[np.ndarray]:
     return runs
 
 
+@jax.jit
+def _stage_keys_prog(stage_key: jax.Array, units: jax.Array) -> jax.Array:
+    """Batched per-unit key fold-in (ONE program for every chunk; same
+    values as the scalar `key_for_stage(..., unit=u)` convention —
+    unit 0 is the bare stage key, used for batch padding)."""
+
+    def one(u):
+        return jax.lax.cond(
+            u != 0,
+            lambda: jax.random.fold_in(stage_key, u),
+            lambda: stage_key,
+        )
+
+    return jax.vmap(one)(units)
+
+
 def _stage_keys(cfg: EigenSnpConfig, chunk: List[int], chunk_b: int) -> jax.Array:
-    """Per-block sketch keys (same fold-in as the host path)."""
-    return jnp.stack(
-        [
-            key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=i + 1)
-            for i in chunk
-        ]
-        + [key_for_stage(cfg.seed, "eigensnp_local_sketch", unit=0)]
-        * (chunk_b - len(chunk))
+    """Per-block sketch keys (same fold-in as the scalar host path)."""
+    units = np.zeros(chunk_b, dtype=np.int32)
+    units[: len(chunk)] = np.asarray(chunk, dtype=np.int32) + 1
+    return _stage_keys_prog(
+        key_for_stage(cfg.seed, "eigensnp_local_sketch"),
+        jnp.asarray(units),
     )
 
 
@@ -212,88 +419,52 @@ def _stages12_device(
     subset_dev = jnp.asarray(subset, dtype=jnp.int32)
     full_cols = len(subset) >= n  # subset == all samples: reuse the full fetch
     budget_elems = 256 * 1024 * 1024
-    bases: Dict[int, np.ndarray] = {}
-    svals: Dict[int, np.ndarray] = {}
+    saved: Dict[int, np.ndarray] = {}
     # All device work enqueues asynchronously; NOTHING is fetched inside
     # the loop (a mid-loop np.asarray is a ~1 s round trip on relayed
     # backends, and two per chunk serialized the whole stage: 1,361
-    # genome-wide blocks cost ~20 s of pure fetch latency).  Bases and
-    # singular values come back in ONE flattened transfer each at the
-    # end, and the condensed matrix is assembled on device with a single
-    # permutation gather.
+    # genome-wide blocks cost ~20 s of pure fetch latency).  Each group
+    # chunk is ONE fused program (slice + subset + batched rSVD +
+    # projection); bases and singular values come back in ONE flattened
+    # transfer each at the end, and the condensed matrix is assembled on
+    # device with a single permutation gather.
     parts: List[tuple] = []  # (chunk, c_b, u_dev, s_dev, out_dev)
     for (bucket, c_b), idxs in sorted(groups.items()):
         b_cap = max(1, budget_elems // (bucket * a.n_pad))
         chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
-        fn = _batched_rsvd(c_b, cfg.local_oversampling, cfg.local_power_iter)
         for pos in range(0, len(idxs), chunk_b):
             chunk = idxs[pos : pos + chunk_b]
             starts = np.zeros(chunk_b, dtype=np.int64)
             lens = np.zeros(chunk_b, dtype=np.int64)
             starts[: len(chunk)] = runs[chunk, 0]
             lens[: len(chunk)] = runs[chunk, 1]
-            xs_full = a.fetch_blocks_device(starts, lens, bucket, None)
-            s_batch = None
             if saved_bases is not None:
+                xs_full = a.fetch_blocks_device(starts, lens, bucket, None)
                 us = [saved_bases[i] for i in chunk]
                 us += [np.zeros_like(us[0])] * (chunk_b - len(chunk))
                 u_batch = jnp.asarray(np.stack(us))
                 for j, i in enumerate(chunk):
-                    bases[i] = us[j]
+                    saved[i] = us[j]
+                out = _project_blocks_batched(u_batch, xs_full)
+                parts.append((list(chunk), c_b, u_batch, None, out))
             else:
-                xs_sub = (
-                    xs_full[:, :, :n]
-                    if full_cols
-                    else a.fetch_blocks_device(starts, lens, bucket, subset_dev)
+                run = _fused_stage12_device_prog(
+                    a.packed, bucket, c_b,
+                    cfg.local_oversampling, cfg.local_power_iter, full_cols,
                 )
-                u_batch, s_batch, _ = fn(
-                    xs_sub, _stage_keys(cfg, chunk, chunk_b)
+                mstarts = a.translate_row_runs(starts, lens)
+                u_batch, s_batch, out = run(
+                    a.geno, a.mean, a.inv_std,
+                    jnp.asarray(mstarts, dtype=jnp.int32),
+                    jnp.asarray(lens, dtype=jnp.int32),
+                    subset_dev,
+                    _stage_keys(cfg, chunk, chunk_b),
                 )
-            out = _project_blocks_batched(u_batch, xs_full)  # (B, c_b, N_pad)
-            parts.append((list(chunk), c_b, u_batch, s_batch, out))
+                parts.append((list(chunk), c_b, u_batch, s_batch, out))
 
-    if saved_bases is None:
-        # One transfer for every base, one for every singular value.
-        u_flat = np.asarray(
-            jnp.concatenate([p[2].reshape(-1) for p in parts])
-        )
-        s_flat = np.asarray(
-            jnp.concatenate([p[3].reshape(-1) for p in parts])
-        )
-        u_ofs = s_ofs = 0
-        for chunk, c_b, u_dev, s_dev, _out in parts:
-            u_np = u_flat[u_ofs : u_ofs + u_dev.size].reshape(u_dev.shape)
-            s_np = s_flat[s_ofs : s_ofs + s_dev.size].reshape(s_dev.shape)
-            u_ofs += u_dev.size
-            s_ofs += s_dev.size
-            for j, i in enumerate(chunk):
-                bases[i] = u_np[j]
-                svals[i] = s_np[j]
-
-    # Condensed matrix: trim batch padding per part, concatenate, then
-    # reorder rows to block order with one gather.
-    y_cat = jnp.concatenate(
-        [
-            out[: len(chunk)].reshape(len(chunk) * c_b, -1)[:, :n]
-            for chunk, c_b, _u, _s, out in parts
-        ],
-        axis=0,
-    )
-    row_start: Dict[int, int] = {}
-    row_cnt: Dict[int, int] = {}
-    cursor = 0
-    for chunk, c_b, _u, _s, _out in parts:
-        for i in chunk:
-            row_start[i] = cursor
-            row_cnt[i] = c_b
-            cursor += c_b
-    perm = np.concatenate(
-        [
-            np.arange(row_start[i], row_start[i] + row_cnt[i], dtype=np.int32)
-            for i in range(len(prep.blocks))
-        ]
-    )
-    y = jnp.take(y_cat, jnp.asarray(perm), axis=0)
+    bases, svals, y = _assemble_condensed(parts, n, len(prep.blocks))
+    if saved_bases is not None:
+        bases = saved
     local_bases = [bases[i] for i in range(len(prep.blocks))]
     return local_bases, (svals if saved_bases is None else None), y
 
@@ -362,48 +533,73 @@ def _stages12_host(
         groups.setdefault((_bucket_rows(d_b), c_b), []).append(b_idx)
 
     budget_elems = 256 * 1024 * 1024
-    results: Dict[int, np.ndarray] = {}
-    svals: Dict[int, np.ndarray] = {}
+    full_cols = len(subset) >= n
+    parts: List[tuple] = []  # (chunk, c_b, u_dev, s_dev or None, out_dev)
+
     if saved_bases is None:
-        # Device results are NOT fetched inside the loop (each fetch is
-        # a ~1 s round trip on relayed backends); they come back in one
-        # flattened transfer each after all chunks are enqueued.
-        parts: List[tuple] = []  # (chunk, u_dev, s_dev)
-        for (bucket, c_b), idxs in sorted(groups.items()):
-            b_cap = max(1, budget_elems // (bucket * max(len(subset), 1)))
-            chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
-            fn = _batched_rsvd(
-                c_b, cfg.local_oversampling, cfg.local_power_iter
+        # Each block's bytes upload ONCE and run through one fused
+        # program (standardize + subset rSVD + all-samples projection);
+        # nothing is fetched inside the loop (a mid-loop np.asarray is a
+        # ~1 s round trip on relayed backends) — bases and singular
+        # values return in one flattened transfer each at the end.
+        def fetch_raw(chunk, bucket, chunk_b):
+            raws, ms, ivs = zip(
+                *(
+                    prep.fetch_block_packed(
+                        prep.blocks[i].pca_snp_ids, pad_rows_to=bucket
+                    )
+                    for i in chunk
+                )
             )
+            raws, ms, ivs = list(raws), list(ms), list(ivs)
+            while len(raws) < chunk_b:  # inert all-missing blocks
+                raws.append(np.full_like(raws[0], 0x55))
+                ms.append(np.zeros_like(ms[0]))
+                ivs.append(np.zeros_like(ivs[0]))
+            return (
+                jnp.asarray(np.stack(raws)),
+                jnp.asarray(np.stack(ms)),
+                jnp.asarray(np.stack(ivs)),
+            )
+
+        for (bucket, c_b), idxs in sorted(groups.items()):
+            b_cap = max(1, budget_elems // (bucket * max(n, 1)))
+            chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
             for pos in range(0, len(idxs), chunk_b):
                 chunk = idxs[pos : pos + chunk_b]
-                u_batch, s_batch, _ = fn(
-                    fetch_batch(chunk, bucket, chunk_b, subset),
-                    _stage_keys(cfg, chunk, chunk_b),
-                )
-                parts.append((list(chunk), u_batch, s_batch))
-        u_flat = np.asarray(jnp.concatenate([p[1].reshape(-1) for p in parts]))
-        s_flat = np.asarray(jnp.concatenate([p[2].reshape(-1) for p in parts]))
-        u_ofs = s_ofs = 0
-        for chunk, u_dev, s_dev in parts:
-            u_np = u_flat[u_ofs : u_ofs + u_dev.size].reshape(u_dev.shape)
-            s_np = s_flat[s_ofs : s_ofs + s_dev.size].reshape(s_dev.shape)
-            u_ofs += u_dev.size
-            s_ofs += s_dev.size
-            for j, i in enumerate(chunk):
-                results[i] = u_np[j]
-                svals[i] = s_np[j]
-        local_bases = [results[i] for i in range(len(prep.blocks))]
-    else:
-        local_bases = saved_bases
+                keys = _stage_keys(cfg, chunk, chunk_b)
+                if packed:
+                    pk8, mean, inv = fetch_raw(chunk, bucket, chunk_b)
+                    run = _fused_stage12_host_packed_prog(
+                        c_b, cfg.local_oversampling, cfg.local_power_iter,
+                        n, full_cols,
+                    )
+                    u_batch, s_batch, out = run(
+                        pk8, mean, inv, subset_dev, keys
+                    )
+                else:
+                    run = _fused_stage12_host_dense_prog(
+                        c_b, cfg.local_oversampling, cfg.local_power_iter,
+                        full_cols,
+                    )
+                    u_batch, s_batch, out = run(
+                        fetch_batch(chunk, bucket, chunk_b, None),
+                        jnp.asarray(subset, dtype=jnp.int32),
+                        keys,
+                    )
+                parts.append((list(chunk), c_b, u_batch, s_batch, out))
 
-    # Stage 2: project ALL samples through the local bases, batched by
-    # the same (bucket, c_b) grouping.
+        bases, svals, y = _assemble_condensed(parts, n, len(prep.blocks))
+        local_bases = [bases[i] for i in range(len(prep.blocks))]
+        return local_bases, svals, y
+
+    # Checkpoint resume: stage 2 only — project ALL samples through the
+    # saved bases, batched by base shape.
+    local_bases = saved_bases
     proj_groups: Dict[tuple, List[int]] = {}
     for b_idx, u_b in enumerate(local_bases):
         proj_groups.setdefault((u_b.shape[0], u_b.shape[1]), []).append(b_idx)
 
-    proj_parts: List[tuple] = []  # (chunk, c_b, out_dev)
     for (bucket, c_b), idxs in sorted(proj_groups.items()):
         b_cap = max(1, budget_elems // (bucket * max(n, 1)))
         chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
@@ -416,32 +612,9 @@ def _stages12_host(
                 jnp.asarray(np.stack(us)),
                 fetch_batch(chunk, bucket, chunk_b, None),
             )  # (B, c_b, N)
-            proj_parts.append((list(chunk), c_b, out))
-    # Trim batch padding per part, concatenate, reorder to block order
-    # with one gather (instead of one device slice per block).
-    y_cat = jnp.concatenate(
-        [
-            out[: len(chunk)].reshape(len(chunk) * c_b, -1)
-            for chunk, c_b, out in proj_parts
-        ],
-        axis=0,
-    )
-    row_start: Dict[int, int] = {}
-    row_cnt: Dict[int, int] = {}
-    cursor = 0
-    for chunk, c_b, _out in proj_parts:
-        for i in chunk:
-            row_start[i] = cursor
-            row_cnt[i] = c_b
-            cursor += c_b
-    perm = np.concatenate(
-        [
-            np.arange(row_start[i], row_start[i] + row_cnt[i], dtype=np.int32)
-            for i in range(len(prep.blocks))
-        ]
-    )
-    y = jnp.take(y_cat, jnp.asarray(perm), axis=0)
-    return local_bases, (svals if saved_bases is None else None), y
+            parts.append((list(chunk), c_b, jnp.asarray(np.stack(us)), None, out))
+    _bases, _svals, y = _assemble_condensed(parts, n, len(prep.blocks))
+    return local_bases, None, y
 
 
 def compute_eigensnp_pca(
@@ -514,6 +687,46 @@ def compute_eigensnp_pca(
         stage_seconds["matrix_load"],
     )
     _t_stage = _time.perf_counter()
+
+    # Refinement subspace width (decided up-front so the pre-warm below
+    # can target the exact refinement program): fill the 128-lane MXU
+    # tile the fused kernels pad the sketch to anyway — same TPU
+    # wall-clock as width k, strictly better convergence
+    # (models/pca.lane_fill_width); `refine_width` overrides.
+    ell_ref = (
+        lane_fill_width(k, n, d)
+        if cfg.refine_width is None
+        else max(k, min(cfg.refine_width, n, d))
+    )
+
+    # Cold-start overlap: compile the refinement program (the largest
+    # XLA program of the run) in the background while stages 1-2
+    # execute.  Only for small problems — the dummy execution it
+    # triggers is negligible there (one extra pass over a tiny matrix)
+    # but would waste real device time at genome scale, where compiles
+    # amortize anyway.
+    use_pca_core = (
+        hasattr(a, "pca_core")
+        and not ckpt.enabled
+        and diag is None
+        and cfg.refine_passes >= 1
+    )
+    if use_pca_core and a.d_pad * a.n_pad <= (1 << 28):
+        import threading
+
+        def _prewarm():
+            try:
+                a._pca_core_k(
+                    a.geno, a.mean, a.inv_std,
+                    jnp.zeros((n, ell_ref), jnp.float32),
+                    cfg.refine_passes, k,
+                )  # device-only; results discarded, cache populated
+            except Exception:  # pragma: no cover - best-effort
+                log.debug("pca_core pre-warm failed", exc_info=True)
+
+        threading.Thread(
+            target=_prewarm, daemon=True, name="pca-core-prewarm"
+        ).start()
 
     # ---- Stages 1+2: local bases -> condensed projection --------------
     # Blocks are grouped by (padded-bucket, c_b) and each group runs
@@ -595,40 +808,38 @@ def compute_eigensnp_pca(
         )
         k = c_total
 
+    gkey = key_for_stage(cfg.seed, "eigensnp_global_sketch")
+    fkey = key_for_stage(cfg.seed, "eigensnp_refine_fill")
     saved = ckpt.load("stage2_basis")
-    if saved is not None:
-        s_basis = jnp.asarray(saved["s_basis"])
+    if saved is None and not ckpt.enabled:
+        # Global rSVD + lane-fill widening as ONE compiled program.
+        s_basis = _global_basis_prog(
+            y, gkey, fkey, k=k,
+            n_os=cfg.global_oversampling, n_pi=cfg.global_power_iter,
+            ell_ref=ell_ref,
+        )
     else:
-        gkey = key_for_stage(cfg.seed, "eigensnp_global_sketch")
-        _, _, vt_g = rsvd(
-            y,
-            gkey,
-            k=k,
-            n_oversamples=cfg.global_oversampling,
-            n_power_iter=cfg.global_power_iter,
-        )
-        s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) orthonormal score basis
-        ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
-
-    # Widen the refinement basis to fill the 128-lane MXU tile: the fused
-    # kernels pad the sketch to 128 lanes regardless, so refining a
-    # (N, 128) subspace costs the same wall-clock as (N, k) on TPU while
-    # converging strictly faster (the extra columns seed with random
-    # directions orthogonal to the stage-2 basis; top-k is extracted by
-    # the final eigensolve).  `refine_width` overrides; <= k disables.
-    ell_ref = (
-        lane_fill_width(k, n, d)
-        if cfg.refine_width is None
-        else max(k, min(cfg.refine_width, n, d))
-    )
-    if ell_ref > int(s_basis.shape[1]):
-        fkey = key_for_stage(cfg.seed, "eigensnp_refine_fill")
-        extra = jax.random.normal(
-            fkey, (n, ell_ref - int(s_basis.shape[1])), dtype=jnp.float32
-        )
-        s_basis, _ = jnp.linalg.qr(
-            jnp.concatenate([s_basis, extra], axis=1)
-        )
+        # Checkpoint runs keep the decomposed path so the k-wide stage-2
+        # basis is a saveable/resumable artifact.
+        if saved is not None:
+            s_basis = jnp.asarray(saved["s_basis"])
+        else:
+            _, _, vt_g = rsvd(
+                y,
+                gkey,
+                k=k,
+                n_oversamples=cfg.global_oversampling,
+                n_power_iter=cfg.global_power_iter,
+            )
+            s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) score basis
+            ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
+        if ell_ref > int(s_basis.shape[1]):
+            extra = jax.random.normal(
+                fkey, (n, ell_ref - int(s_basis.shape[1])), dtype=jnp.float32
+            )
+            s_basis, _ = jnp.linalg.qr(
+                jnp.concatenate([s_basis, extra], axis=1)
+            )
 
     stage_seconds["global_pca"] = _time.perf_counter() - _t_stage
     log.info(
@@ -645,12 +856,7 @@ def compute_eigensnp_pca(
     # checkpointing; diagnostics runs also take the per-pass path so
     # refinement convergence (subspace residual per pass) is observable.
     refine_residuals: List[float] = []
-    if (
-        hasattr(a, "pca_core")
-        and not ckpt.enabled
-        and diag is None
-        and cfg.refine_passes >= 1
-    ):
+    if use_pca_core:
         v_k, sigma_k, evals_k, loadings = a.pca_core(
             s_basis, cfg.refine_passes, k
         )

@@ -173,8 +173,7 @@ def auto_tile_d(
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("bucket",))
-def _slice_blocks_standardized(
+def _slice_blocks_impl(
     geno: jax.Array,  # (D_pad, N_pad) int8
     mean: jax.Array,  # (D_pad, 1) f32
     inv_std: jax.Array,  # (D_pad, 1) f32
@@ -186,9 +185,9 @@ def _slice_blocks_standardized(
     """(B, bucket, C) f32 standardized row-run blocks, sliced on device.
 
     Rows outside [start, start+len) and missing genotypes standardize to
-    zero (inert padding, same convention as the host accessor).  `starts`
-    and `lens` are traced, so every block batch of a given (bucket, C)
-    shape reuses ONE compiled program.
+    zero (inert padding, same convention as the host accessor).
+    Un-jitted core shared by the standalone slicer and the fused
+    stage-1+2 program (models/eigensnp.py).
     """
     d_pad = geno.shape[0]
 
@@ -209,8 +208,12 @@ def _slice_blocks_standardized(
     return jax.vmap(one)(starts, lens)
 
 
-@functools.partial(jax.jit, static_argnames=("bucket",))
-def _slice_blocks_standardized_packed(
+_slice_blocks_standardized = functools.partial(
+    jax.jit, static_argnames=("bucket",)
+)(_slice_blocks_impl)
+
+
+def _slice_blocks_packed_impl(
     geno: jax.Array,  # (D_pad, N4_pad) uint8 packed
     mean: jax.Array,
     inv_std: jax.Array,
@@ -219,7 +222,7 @@ def _slice_blocks_standardized_packed(
     col_idx,
     bucket: int,
 ) -> jax.Array:
-    """Packed analog of `_slice_blocks_standardized`: unpacks the sliced
+    """Packed analog of `_slice_blocks_impl`: unpacks the sliced
     rows in plain XLA (interleave reshape restores ORIGINAL sample
     order — the Mosaic lane constraint does not apply outside Pallas)."""
     d_pad, n4 = geno.shape
@@ -242,6 +245,11 @@ def _slice_blocks_standardized_packed(
         return jnp.where(rmask[:, None], x, 0.0)
 
     return jax.vmap(one)(starts, lens)
+
+
+_slice_blocks_standardized_packed = functools.partial(
+    jax.jit, static_argnames=("bucket",)
+)(_slice_blocks_packed_impl)
 
 
 class ShardedMatrix:
