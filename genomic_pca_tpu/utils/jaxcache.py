@@ -38,7 +38,10 @@ def enable_persistent_cache() -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERYTHING: on remote-compile backends even a
+        # 0.3 s program costs a full compile round-trip per process,
+        # and the cold path is a dozen such programs.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         log.debug("Persistent compilation cache at %s", cache_dir)
     except (OSError, AttributeError) as e:  # read-only FS / old jax
