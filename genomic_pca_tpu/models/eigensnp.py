@@ -125,18 +125,6 @@ def _standardize_packed_stack_cols(
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_rsvd(k: int, n_oversamples: int, n_power_iter: int):
-    """jitted vmap of rsvd over a stacked batch of same-shape blocks."""
-
-    def one(x, key):
-        return rsvd(
-            x, key, k=k, n_oversamples=n_oversamples, n_power_iter=n_power_iter
-        )
-
-    return jax.jit(jax.vmap(one))
-
-
-@functools.lru_cache(maxsize=None)
 def _fused_stage12_device_prog(
     packed: bool,
     bucket: int,
