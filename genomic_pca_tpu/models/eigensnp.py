@@ -416,10 +416,11 @@ def _stages12_device(
     # projection); bases and singular values come back in ONE flattened
     # transfer each at the end, and the condensed matrix is assembled on
     # device with a single permutation gather.
-    parts: List[tuple] = []  # (chunk, c_b, u_dev, s_dev, out_dev)
-    for (bucket, c_b), idxs in sorted(groups.items()):
+    def run_group(item) -> List[tuple]:
+        (bucket, c_b), idxs = item
         b_cap = max(1, budget_elems // (bucket * a.n_pad))
         chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
+        out_parts: List[tuple] = []
         for pos in range(0, len(idxs), chunk_b):
             chunk = idxs[pos : pos + chunk_b]
             starts = np.zeros(chunk_b, dtype=np.int64)
@@ -434,7 +435,7 @@ def _stages12_device(
                 for j, i in enumerate(chunk):
                     saved[i] = us[j]
                 out = _project_blocks_batched(u_batch, xs_full)
-                parts.append((list(chunk), c_b, u_batch, None, out))
+                out_parts.append((list(chunk), c_b, u_batch, None, out))
             else:
                 run = _fused_stage12_device_prog(
                     a.packed, bucket, c_b,
@@ -448,7 +449,24 @@ def _stages12_device(
                     subset_dev,
                     _stage_keys(cfg, chunk, chunk_b),
                 )
-                parts.append((list(chunk), c_b, u_batch, s_batch, out))
+                out_parts.append((list(chunk), c_b, u_batch, s_batch, out))
+        return out_parts
+
+    # Distinct (bucket, c_b) groups use DISTINCT compiled programs, so
+    # running groups on a small thread pool overlaps their first-use
+    # compile/executable-load round-trips (the cold-start cost on
+    # remote-compile backends); dispatch order within a group — and the
+    # assembled part order — is unchanged, so results are identical.
+    groups_sorted = sorted(groups.items())
+    parts: List[tuple] = []
+    if len(groups_sorted) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(4, len(groups_sorted))) as ex:
+            for out_parts in ex.map(run_group, groups_sorted):
+                parts.extend(out_parts)
+    else:
+        parts.extend(run_group(groups_sorted[0]))
 
     bases, svals, y = _assemble_condensed(parts, n, len(prep.blocks))
     if saved_bases is not None:
