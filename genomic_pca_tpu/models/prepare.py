@@ -1152,7 +1152,12 @@ def prepare_data(config: DataPrepConfig) -> PreparedData:
     # 2-bit packed pipeline whenever the full sample set is in play
     # (keep-lists need column subsetting, which packed bytes cannot do).
     packed = bool(config.packed_pipeline) and sample_sel is None
-    n_proc = jax.process_count()
+    # No-device process count: the real call materializes the backend,
+    # which would serialize the ~60-70 s remote init ahead of the
+    # host-side QC scan instead of overlapping it (utils/warmup.py).
+    from genomic_pca_tpu.utils.warmup import process_count_nodevice
+
+    n_proc = process_count_nodevice()
     capture: Optional[QcCapture] = None
     scan_ranges: Optional[List[tuple]] = None
     # Parsed up front (the reference parses after QC, main.rs ordering):

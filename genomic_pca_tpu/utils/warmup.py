@@ -1,0 +1,90 @@
+"""Background backend warm-up.
+
+On a tunneled/remote TPU backend the FIRST device operation of a process
+pays a one-time backend initialization of ~60-70 s (client handshake +
+device enumeration) that no compilation cache can remove.  Both
+workflows start with host-only work measured in seconds to minutes (VCF
+parsing, BED QC scan), so the init cost disappears entirely if a
+background thread touches the device while the host parses.
+
+The thread runs one trivial jitted op end-to-end (dispatch + fetch):
+that forces client init, device handshake, and the first executable
+load.  Errors are swallowed — the workflow's first real device op will
+surface any genuine backend failure with full context.
+
+This plays the same latency-hiding role as the reference's IoService
+actor pool spin-up happening concurrently with BIM/FAM metadata loading
+(/root/reference/src/prepare.rs:923-993), applied to the backend-init
+axis instead of file I/O.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+
+log = logging.getLogger(__name__)
+
+_lock = threading.Lock()
+_started: threading.Thread | None = None
+
+
+def warm_backend_async() -> threading.Thread:
+    """Start (once) a daemon thread that initializes the JAX backend.
+
+    Returns the thread; callers never need to join it — the main
+    thread's first device op blocks on the same internal init lock and
+    proceeds as soon as init completes.
+    """
+    global _started
+    with _lock:
+        if _started is not None:
+            return _started
+
+        def _touch() -> None:
+            t0 = time.perf_counter()
+            try:
+                import jax.numpy as jnp
+                import numpy as np
+
+                np.asarray(jnp.zeros((8, 128), jnp.float32) + 1.0)
+                log.debug(
+                    "Backend warm-up finished in %.1fs",
+                    time.perf_counter() - t0,
+                )
+            except Exception as exc:  # pragma: no cover - backend-specific
+                log.debug("Backend warm-up failed (deferred): %s", exc)
+
+        _started = threading.Thread(
+            target=_touch, name="backend-warmup", daemon=True
+        )
+        _started.start()
+        return _started
+
+
+def process_count_nodevice() -> int:
+    """`jax.process_count()` without forcing backend initialization.
+
+    `jax.process_count()` materializes the backend (it enumerates
+    devices), which on a remote backend blocks the MAIN thread on the
+    ~60-70 s init this module exists to hide.  Multi-controller JAX
+    requires `jax.distributed.initialize`, so if the distributed client
+    was never created the count is definitionally 1; otherwise read the
+    count off the distributed state.  Falls back to the real call if
+    the internals move.
+    """
+    try:
+        from jax._src import distributed
+
+        state = distributed.global_state
+        if getattr(state, "client", None) is None:
+            return 1
+        n = getattr(state, "num_processes", None)
+        if n:
+            return int(n)
+    except Exception:
+        pass
+    import jax
+
+    return jax.process_count()

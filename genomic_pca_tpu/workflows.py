@@ -30,6 +30,10 @@ from genomic_pca_tpu.parallel.sharded import ShardedMatrix
 from genomic_pca_tpu.utils.jaxcache import enable_persistent_cache
 from genomic_pca_tpu.utils.system import preflight
 from genomic_pca_tpu.utils.timing import StageTimer
+from genomic_pca_tpu.utils.warmup import (
+    process_count_nodevice,
+    warm_backend_async,
+)
 
 log = logging.getLogger(__name__)
 
@@ -54,7 +58,8 @@ def run_vcf_workflow(
     """
     timer = StageTimer()
     enable_persistent_cache()
-    n_proc = jax.process_count()
+    warm_backend_async()  # hide the one-time backend init under parsing
+    n_proc = process_count_nodevice()
 
     with timer.stage("VCF parsing & filtering"):
         if n_proc == 1:
@@ -190,6 +195,7 @@ def run_eigensnp_workflow(
     """
     timer = StageTimer()
     enable_persistent_cache()
+    warm_backend_async()  # hide the one-time backend init under QC
     preflight(planned_threads=16)
 
     with timer.stage("Data preparation (QC + LD mapping)"):

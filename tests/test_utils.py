@@ -83,3 +83,24 @@ def test_enable_persistent_cache_respects_optout(monkeypatch):
     monkeypatch.setattr(jaxcache, "_done", False)
     monkeypatch.setenv("GENOMIC_PCA_TPU_NO_CACHE", "1")
     jaxcache.enable_persistent_cache()  # must not raise or set anything
+
+
+def test_warm_backend_async_single_thread_object():
+    from genomic_pca_tpu.utils import warmup
+
+    t1 = warmup.warm_backend_async()
+    t2 = warmup.warm_backend_async()  # idempotent: same thread
+    assert t1 is t2
+    t1.join(timeout=60)
+    assert not t1.is_alive()
+
+
+def test_process_count_nodevice_matches_jax():
+    import jax
+
+    from genomic_pca_tpu.utils.warmup import process_count_nodevice
+
+    # Single-controller test env: must report 1 (and, after the backend
+    # exists, must agree with the real call).
+    assert process_count_nodevice() == 1
+    assert process_count_nodevice() == jax.process_count()
