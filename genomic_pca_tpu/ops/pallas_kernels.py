@@ -756,3 +756,136 @@ def fused_left_apply_2d_packed(
         ),
         interpret=interpret,
     )(packed, mean, inv_std, w)
+
+
+# ---------------------------------------------------------------------------
+# Quantized power-iteration kernel: the int8 MXU path.
+#
+# The MXU multiplies s8 x s8 -> s32 at TWICE the bf16 rate (394 vs 197
+# TOPS on v5e), and the genotype matrix is ALREADY small integers — the
+# bf16 kernels above spend the MXU at half speed only because
+# standardization turns the operands into floats.  This kernel keeps the
+# contraction in int8 and hoists standardization out of the matmuls as
+# exact rank-1/diagonal corrections applied to the SMALL (tile_d, L) and
+# (L,) intermediates:
+#
+#     A = diag(s) G0 - u 1^T            (s = 1/std, u = mean/std)
+#     A b       = s . (G0 b)  - u (1^T b)
+#     A^T y     = G0^T (s . y) - 1 (u^T y)
+#
+# so one power-iteration pass T = A^T (A b) becomes two s8 MXU matmuls
+# on the raw genotype tile plus O(tile_d x L) VPU work — ~16x less VPU
+# traffic than dequantizing the (tile_d, N) tile, and 2x the MXU rate.
+#
+# Quantization: the rhs b quantizes to int8 with one global scale
+# (columns of an orthonormal basis share magnitude); the intermediate
+# z = s . y re-quantizes PER TILE (tighter scales than a global one).
+# The int32 accumulators are EXACT for the quantized operands — the
+# only error is the two 8-bit roundings, ~0.4% relative per pass, which
+# subspace iteration absorbs: the driver (parallel/sharded.py) runs the
+# last iterations and the Rayleigh-Ritz eigensolve through the exact
+# bf16 kernels, restoring full bf16-path quality (validated |r| >=
+# 0.999999 vs float64, tests/test_q8.py and VALIDATION.md).
+#
+# Missing genotypes: the sentinel (-127) maps to raw 0 via an int8 max,
+# i.e. DURING quantized iterations a missing entry contributes -u_i
+# instead of 0 — a small operator perturbation (<= 2% of entries at the
+# default call-rate gate) that the exact polish iterations remove.  The
+# exact kernels remain the only ones used for products that land in
+# user-visible outputs (scores / loadings / eigenvalues).
+# ---------------------------------------------------------------------------
+
+
+def _gram_q8_kernel(g_ref, iv_ref, u_ref, bq_ref, sb_ref, csum_ref,
+                    out_ref, ru_ref, *, swar_clean):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        ru_ref[:] = jnp.zeros_like(ru_ref)
+
+    if swar_clean:
+        # {-127, 0, 1, 2} -> {0, 0, 1, 2}.  Mosaic v5e legalizes neither
+        # compares nor max/shifts on int8 vectors, so clean the sentinel
+        # SWAR-style through a u32 bitcast: spread each byte's sign bit
+        # to a 0xFF mask and clear those bytes (~1.25 VPU ops/byte on 4x
+        # fewer lanes than an int8 elementwise pass).
+        x32 = pltpu.bitcast(g_ref[:], jnp.uint32)
+        sign = x32 & jnp.uint32(0x80808080)
+        g0 = pltpu.bitcast(x32 & ~((sign >> 7) * jnp.uint32(0xFF)), jnp.int8)
+    else:  # interpret mode (CPU tests): plain max, no Mosaic bitcast
+        g0 = jnp.maximum(g_ref[:], jnp.int8(0))
+    # First s8 MXU pass: (tile_d, N) x (N, L) -> int32.
+    w = jax.lax.dot_general(
+        g0, bq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    sb = sb_ref[0, 0]
+    y = iv_ref[:] * (w.astype(jnp.float32) * sb) - u_ref[:] * csum_ref[:]
+    z = iv_ref[:] * y
+    # Per-tile re-quantization of z for the transpose pass.
+    sz = jnp.max(jnp.abs(z)) * (1.0 / 127.0) + 1e-30
+    z8 = jnp.clip(jnp.round(z * (1.0 / sz)), -127.0, 127.0).astype(jnp.int8)
+    # Second s8 MXU pass, contraction over the row tile: (N, L) int32.
+    t = jax.lax.dot_general(
+        g0, z8, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out_ref[:] += t.astype(jnp.float32) * sz
+    ru_ref[:] += jnp.sum(u_ref[:] * y, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_d", "interpret"))
+def fused_gram_q8(
+    geno: jax.Array,  # (D, N) int8 raw dosages (missing = -127)
+    inv_std: jax.Array,  # (D, 1) f32
+    u: jax.Array,  # (D, 1) f32 = mean * inv_std
+    bq: jax.Array,  # (N, L) int8 quantized basis
+    sb: jax.Array,  # (1, 1) f32 basis dequant scale
+    csum: jax.Array,  # (1, L) f32 = column-sums of bq, pre-scaled by sb
+    tile_d: int = 1024,
+    interpret: bool = False,
+):
+    """Quantized power pass: returns (G0^T(s.y) partial (N, L) f32,
+    u^T y partial (1, L) f32); the caller forms T = out - ru."""
+    d, n = geno.shape
+    ell = bq.shape[1]
+    assert d % tile_d == 0, (d, tile_d)
+    kernel = functools.partial(_gram_q8_kernel, swar_clean=not interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tile_d,),
+        in_specs=[
+            pl.BlockSpec((tile_d, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ell), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ell), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, ell), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ell), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ell), jnp.float32),
+            jax.ShapeDtypeStruct((1, ell), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * d * n * ell,
+            bytes_accessed=d * n + n * ell * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(geno, inv_std, u, bq, sb, csum)

@@ -161,6 +161,13 @@ def auto_tile_d(
     (n_pad ~ 500k) no row tile fits — callers fall back to the 2-D
     tiled kernels (return 0).
     """
+    if precision == "q8":
+        # int8 tile (x2 buffers) + the (tile_d, L) w/y/z/z8 intermediates
+        # + the int8 basis and f32 accumulator.  The q8 power body still
+        # builds the bf16 kernels for its polish/tsq/right passes, so
+        # take the tighter (bf16) tile — both fit at the same size for
+        # all practical (n_pad, ell) since the q8 working set is smaller.
+        precision = "bf16"
     bf16 = precision != "f32"
     fixed = n_pad * ell_pad * (4 + (2 if bf16 else 4)) + n_pad * ell_pad * 4
     per_row = n_pad * ((2 * 1 + 2 + 2) if bf16 else (2 * 1 + 4 + 4))
@@ -271,7 +278,7 @@ class ShardedMatrix:
         mesh: Mesh,
         mode: Optional[str] = None,
         tile_d: int = 1024,
-        kernel_precision: str = "bf16",
+        kernel_precision: str = "q8",
         row_segments: Optional[np.ndarray] = None,
     ):
         self.geno = geno
@@ -349,7 +356,7 @@ class ShardedMatrix:
         mesh: Optional[Mesh] = None,
         mode: Optional[str] = None,
         tile_d: int = 1024,
-        kernel_precision: str = "bf16",
+        kernel_precision: str = "q8",
     ) -> "ShardedMatrix":
         """Pack host int8 strips into the padded sharded 2-D layout.
 
@@ -429,7 +436,7 @@ class ShardedMatrix:
         mesh: Optional[Mesh] = None,
         mode: Optional[str] = None,
         tile_d: int = 1024,
-        kernel_precision: str = "bf16",
+        kernel_precision: str = "q8",
         center_only: bool = False,
         packed: bool = False,
     ) -> "ShardedMatrix":
@@ -518,7 +525,7 @@ class ShardedMatrix:
         mesh: Optional[Mesh] = None,
         mode: Optional[str] = None,
         tile_d: int = 1024,
-        kernel_precision: str = "bf16",
+        kernel_precision: str = "q8",
         packed: bool = False,
         center_only: bool = False,
     ) -> "ShardedMatrix":
@@ -656,7 +663,7 @@ class ShardedMatrix:
         mesh: Optional[Mesh] = None,
         mode: Optional[str] = None,
         tile_d: int = 1024,
-        kernel_precision: str = "bf16",
+        kernel_precision: str = "q8",
     ) -> "ShardedMatrix":
         """Build the packed (2-bit) sharded matrix from raw PLINK bytes.
 
@@ -703,7 +710,7 @@ class ShardedMatrix:
         mesh: Optional[Mesh] = None,
         mode: Optional[str] = None,
         tile_d: int = 1024,
-        kernel_precision: str = "bf16",
+        kernel_precision: str = "q8",
         strip_rows: int = 262_144,
     ) -> "ShardedMatrix":
         """Packed constructor that streams strip-sized host buffers to
@@ -777,6 +784,19 @@ class ShardedMatrix:
         tile_n = self.tile_n
         precision = self.kernel_precision
         interpret = self.mode in ("pallas_interpret", "pallas2d_interpret")
+        # "q8" = bf16 everywhere EXCEPT the power-iteration body, which
+        # runs through the int8-MXU kernel (2x rate); the exact kernels
+        # below still serve polish/tsq/right and every user-visible
+        # product.
+        local_gram_q8 = None
+        if precision == "q8":
+            precision = "bf16"
+            if self.mode in ("pallas", "pallas_interpret") and not self.packed:
+                def local_gram_q8(g, iv, u, bq, sb, csum):
+                    return pk.fused_gram_q8(
+                        g, iv, u, bq, sb, csum, tile_d=tile_d,
+                        interpret=interpret,
+                    )
 
         if self.mode in ("pallas2d", "pallas2d_interpret"):
             if self.packed:
@@ -894,13 +914,13 @@ class ShardedMatrix:
             def local_right(g, m, iv, b):
                 return _scan(g, m[:, 0], iv[:, 0], b, "right")
 
-        return local_gram, local_tsq, local_right
+        return local_gram, local_tsq, local_right, local_gram_q8
 
     def _build_kernels(self) -> None:
         mesh = self.mesh
         vspec = P(VARIANT_AXIS, None)
         rep = P(None, None)
-        local_gram, local_tsq, local_right = self._local_ops()
+        local_gram, local_tsq, local_right, local_gram_q8 = self._local_ops()
 
         # check_vma=False: pallas_call outputs carry no varying-manual-axes
         # annotation, which the vma type check can't see through.
@@ -918,6 +938,21 @@ class ShardedMatrix:
         @functools.partial(smap, out_specs=rep)
         def tsq_sm(g, m, iv, b):
             return jax.lax.psum(local_tsq(g, m, iv, b), VARIANT_AXIS)
+
+        if local_gram_q8 is not None:
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(vspec, vspec, vspec, rep, rep, rep),
+                out_specs=rep,
+                check_vma=False,
+            )
+            def gram_q8_sm(g, m, iv, bq, sb, csum):
+                u = m * iv  # (d_loc, 1), cheap per-shard
+                o, ru = local_gram_q8(g, iv, u, bq, sb, csum)
+                # T = G0^T(s.y) - 1 (u^T y): the rank-1 term broadcasts
+                # over sample rows, so fold it before the psum.
+                return jax.lax.psum(o - ru, VARIANT_AXIS)
 
         @functools.partial(smap, out_specs=vspec)
         def right_sm(g, m, iv, b):
@@ -995,20 +1030,44 @@ class ShardedMatrix:
                 )
             return t
 
+        def zero_pad_rows(t):
+            if packed:
+                return t * jnp.asarray(pmask_np)
+            return t.at[n_samples:, :].set(0.0)
+
+        use_q8 = local_gram_q8 is not None
+        # With q8 enabled the LAST power iteration always runs through
+        # the exact bf16 kernel: the quantized passes only steer the
+        # subspace (8-bit rounding + the missing->raw-0 approximation,
+        # ops/pallas_kernels.py q8 notes); one exact pass before the
+        # Rayleigh-Ritz restores bf16-path quality (|r| >= 0.999999 vs
+        # float64 with 2% missing, VALIDATION.md).
+        _Q8_POLISH = 1
+
+        def power_loop(g, m, iv, bp, n_iter):
+            def body_exact(_, cur):
+                return cholqr2(zero_pad_rows(gram_sm(g, m, iv, cur)))
+
+            if not use_q8:
+                return jax.lax.fori_loop(0, n_iter, body_exact, bp)
+
+            def body_q8(_, cur):
+                sb = jnp.maximum(jnp.max(jnp.abs(cur)), 1e-30) / 127.0
+                bq = jnp.clip(
+                    jnp.round(cur / sb), -127.0, 127.0
+                ).astype(jnp.int8)
+                csum = (jnp.sum(bq, axis=0, dtype=jnp.float32) * sb)[None, :]
+                t = gram_q8_sm(g, m, iv, bq, sb.reshape(1, 1), csum)
+                return cholqr2(zero_pad_rows(t))
+
+            n_q8 = max(n_iter - _Q8_POLISH, 0)
+            out = jax.lax.fori_loop(0, n_q8, body_q8, bp)
+            return jax.lax.fori_loop(0, n_iter - n_q8, body_exact, out)
+
         # Whole power-iteration loop on device: n_iter x (gram -> CholQR).
         @functools.partial(jax.jit, static_argnames=("n_iter",))
         def power_k(g, m, iv, b, n_iter):
-            bp = pad_b(b)
-
-            def body(_, cur):
-                t = gram_sm(g, m, iv, cur)
-                if packed:
-                    t = t * jnp.asarray(pmask_np)
-                else:
-                    t = t.at[n_samples:, :].set(0.0)
-                return cholqr2(t)
-
-            out = jax.lax.fori_loop(0, n_iter, body, bp)
+            out = power_loop(g, m, iv, pad_b(b), n_iter)
             # One exact Householder QR to finish.
             q, _ = jnp.linalg.qr(out)
             return unperm(q)[:n_samples, : b.shape[1]]
@@ -1020,17 +1079,7 @@ class ShardedMatrix:
         # end-to-end compile time and saves the intermediate dispatches.
         @functools.partial(jax.jit, static_argnames=("n_iter", "k"))
         def pca_core_k(g, m, iv, b, n_iter, k):
-            bp = pad_b(b)
-
-            def body(_, cur):
-                t = gram_sm(g, m, iv, cur)
-                if packed:
-                    t = t * jnp.asarray(pmask_np)
-                else:
-                    t = t.at[n_samples:, :].set(0.0)
-                return cholqr2(t)
-
-            out = jax.lax.fori_loop(0, n_iter, body, bp)
+            out = power_loop(g, m, iv, pad_b(b), n_iter)
             q, _ = jnp.linalg.qr(out)  # (n_pad, l_pad) orthonormal
             gram = tsq_sm(g, m, iv, q)  # (l_pad, l_pad)
             ell = b.shape[1]
