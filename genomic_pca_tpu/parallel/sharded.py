@@ -791,9 +791,14 @@ class ShardedMatrix:
         local_gram_q8 = None
         if precision == "q8":
             precision = "bf16"
-            if self.mode in ("pallas", "pallas_interpret") and not self.packed:
+            if self.mode in ("pallas", "pallas_interpret"):
+                q8_fn = (
+                    pk.fused_gram_q8_packed if self.packed
+                    else pk.fused_gram_q8
+                )
+
                 def local_gram_q8(g, iv, u, bq, sb, csum):
-                    return pk.fused_gram_q8(
+                    return q8_fn(
                         g, iv, u, bq, sb, csum, tile_d=tile_d,
                         interpret=interpret,
                     )

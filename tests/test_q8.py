@@ -105,3 +105,37 @@ def test_q8_matches_bf16_path(rng):
     np.testing.assert_allclose(
         rq.eigenvalues, rb.eigenvalues, rtol=5e-3
     )
+
+
+def test_q8_packed_matches_dense_q8(rng):
+    """Packed (2-bit) q8 container agrees with the dense q8 container."""
+    from genomic_pca_tpu.parallel.sharded import pack_int8_rows
+
+    d, n, k = 512, 128, 4
+    g = make_genotypes(rng, d, n, missing_rate=0.02, n_pops=6, fst=0.15)
+    valid = g != -127
+    g0 = np.where(valid, g, 0).astype(np.float64)
+    cnt = valid.sum(axis=1)
+    mean = (g0.sum(axis=1) / cnt).astype(np.float32)
+    std = np.sqrt(
+        (((g0 - mean[:, None]) ** 2) * valid).sum(axis=1) / (cnt - 1)
+    ).astype(np.float32)
+    mesh = make_mesh()
+    kw = dict(mesh=mesh, mode="pallas_interpret", tile_d=128,
+              kernel_precision="q8")
+    sm_d = ShardedMatrix.from_arrays(
+        iter([g]), means=[mean], stds=[std], **kw
+    )
+    sm_p = ShardedMatrix.from_packed_rows(
+        pack_int8_rows(g), mean, std, n, **kw
+    )
+    assert sm_p.packed and not sm_d.packed
+    rd = streamed_pca(sm_d, k=k, n_power_iter=5, seed=3)
+    rp = streamed_pca(sm_p, k=k, n_power_iter=5, seed=3)
+    for i in range(k):
+        r = abs(float(
+            np.dot(rd.scores[:, i], rp.scores[:, i])
+            / (np.linalg.norm(rd.scores[:, i])
+               * np.linalg.norm(rp.scores[:, i]))
+        ))
+        assert r > 0.9999, (i, r)
