@@ -987,3 +987,144 @@ def fused_gram_q8_packed(
         ),
         interpret=interpret,
     )(packed, inv_std, u, bq, sb, csum)
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled q8 kernels (biobank sample counts on the int8 MXU).
+#
+# Same W = A B / T = A^T W split as the 2-D bf16 pair, but the matmuls
+# stay int8: these kernels compute ONLY the raw integer products
+# sum(G0 bq) and sum(G0^T z8) — the standardization corrections, the
+# z re-quantization, and the rank-1 term run in XLA on the small (D, L)
+# intermediate between the two calls (parallel/sharded.py
+# `local_gram_q8`), where they cost a few elementwise passes over
+# D*L*4 bytes (~4% of one packed-matrix read at biobank N).
+# ---------------------------------------------------------------------------
+
+
+def _clean_i8(g, swar: bool):
+    """{-127,0,1,2} int8 -> {0,0,1,2}; SWAR on-device, max in interpret."""
+    if swar:
+        x32 = pltpu.bitcast(g, jnp.uint32)
+        sign = x32 & jnp.uint32(0x80808080)
+        return pltpu.bitcast(x32 & ~((sign >> 7) * jnp.uint32(0xFF)), jnp.int8)
+    return jnp.maximum(g, jnp.int8(0))
+
+
+def _right2d_q8_kernel(g_ref, b_ref, out_ref, *, packed, swar):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    g0 = (_unpack_packed_tile_s8(g_ref[:]) if packed
+          else _clean_i8(g_ref[:], swar))
+    w = jax.lax.dot_general(
+        g0, b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] += w.astype(jnp.float32)
+
+
+def _left2d_q8_kernel(g_ref, z_ref, out_ref, *, packed, swar):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    g0 = (_unpack_packed_tile_s8(g_ref[:]) if packed
+          else _clean_i8(g_ref[:], swar))
+    t = jax.lax.dot_general(
+        g0, z_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] += t.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "tile_n", "interpret")
+)
+def right_apply_2d_q8(
+    geno: jax.Array,  # (D, N) int8 or (D, N4) uint8 packed
+    bq: jax.Array,  # (N, L) / (4*N4, L) int8 (tile-local plane-major)
+    tile_d: int = 512,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """sum_j G0 bq: (D, L) f32 of raw integer products."""
+    packed = geno.dtype == jnp.uint8
+    d, nc = geno.shape
+    ell = bq.shape[1]
+    assert d % tile_d == 0 and nc % tile_n == 0, (d, nc, tile_d, tile_n)
+    bfac = 4 if packed else 1
+    kernel = functools.partial(
+        _right2d_q8_kernel, packed=packed, swar=not interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tile_d, nc // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_d, tile_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bfac * tile_n, ell), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_d, ell), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, ell), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bfac * d * nc * ell,
+            bytes_accessed=d * nc + d * ell * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(geno, bq)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_d", "tile_n", "interpret")
+)
+def left_apply_2d_q8(
+    geno: jax.Array,  # (D, N) int8 or (D, N4) uint8 packed
+    z8: jax.Array,  # (D, L) int8
+    tile_d: int = 512,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """sum_i G0^T z8: (N, L) / (4*N4, L) f32 of raw integer products
+    (tile-local plane-major sample order when packed)."""
+    packed = geno.dtype == jnp.uint8
+    d, nc = geno.shape
+    ell = z8.shape[1]
+    assert d % tile_d == 0 and nc % tile_n == 0, (d, nc, tile_d, tile_n)
+    bfac = 4 if packed else 1
+    kernel = functools.partial(
+        _left2d_q8_kernel, packed=packed, swar=not interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nc // tile_n, d // tile_d),
+        in_specs=[
+            pl.BlockSpec((tile_d, tile_n), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, ell), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bfac * tile_n, ell), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bfac * nc, ell), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bfac * d * nc * ell,
+            bytes_accessed=d * nc + bfac * nc * ell * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(geno, z8)
