@@ -135,6 +135,15 @@ class PreparedData:
     def n_pca_snps(self) -> int:
         return len(self.pca_snp_orig_indices)
 
+    @property
+    def missing_fraction_bound(self) -> float:
+        """Deterministic upper bound on the post-QC missing fraction:
+        the call-rate gate admits at most 1 - min_call_rate missing
+        genotypes per surviving SNP.  Drives the adaptive q8 polish
+        count (parallel/sharded.resolve_q8_polish) without an extra
+        pass over the data."""
+        return max(0.0, 1.0 - float(self.config.min_call_rate))
+
     def snp_metadata(self):
         """(sids, chroms, positions) aligned to PcaSnpId order
         (main.rs:450-496 equivalent)."""
@@ -289,6 +298,7 @@ class PreparedData:
         """
         from genomic_pca_tpu.ops.streaming import StreamingMatrix
 
+        kw.setdefault("missing_fraction", self.missing_fraction_bound)
         n_strips = max(1, -(-self.n_pca_snps // strip_size))
         n = self.n_pca_snps
 
@@ -383,7 +393,7 @@ class PreparedData:
             **kw,
         )
 
-    def _matrix_from_capture(self, mesh):
+    def _matrix_from_capture(self, mesh, mk=None):
         """Assemble the sharded matrix from the QC scan's device batches.
 
         One jitted program gathers the PCA SNP rows (static per-batch
@@ -448,6 +458,7 @@ class PreparedData:
             n_samples=self.n_samples,
             mesh=mesh,
             tile_d=tile_d,
+            **(mk or {}),
         )
 
         if self.config.missing_policy == "error" and sm.count_missing():
@@ -461,7 +472,7 @@ class PreparedData:
             )
         return sm
 
-    def _matrix_from_capture_multiproc(self, mesh):
+    def _matrix_from_capture_multiproc(self, mesh, mk=None):
         """Multi-process fused assembly from the distributed QC scan.
 
         Each process gathers its OWN scan range's QC survivors from the
@@ -612,6 +623,7 @@ class PreparedData:
             mesh=mesh,
             tile_d=tile_d,
             row_segments=segments,
+            **(mk or {}),
         )
         if self.config.missing_policy == "error" and sm.count_missing():
             raise DataPrepError(
@@ -621,7 +633,13 @@ class PreparedData:
             )
         return sm
 
-    def load_matrix(self, strip_size: int = 2048, mesh=None):
+    def load_matrix(
+        self,
+        strip_size: int = 2048,
+        mesh=None,
+        q8_polish: Optional[int] = None,
+        kernel_precision: Optional[str] = None,
+    ):
         """Materialize A as the production variant-sharded container
         (Pallas kernels on TPU, shard_map + psum across the mesh).
 
@@ -634,6 +652,15 @@ class PreparedData:
         import jax
 
         from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+
+        # Container knobs shared by every construction path below: the
+        # QC-derived missingness bound drives the adaptive q8 polish;
+        # explicit q8_polish / kernel_precision override the defaults.
+        mk = dict(missing_fraction=self.missing_fraction_bound)
+        if q8_polish is not None:
+            mk["q8_polish"] = q8_polish
+        if kernel_precision is not None:
+            mk["kernel_precision"] = kernel_precision
 
         # Packed residency applies with OR without a keep-list: raw BED
         # bytes upload verbatim for the full sample set, and keep-list
@@ -661,11 +688,11 @@ class PreparedData:
             # Don't hold the (pre-QC, >= resident-size) capture batches
             # in HBM while every pass streams from host.
             self.qc_capture = None
-            return self.load_streaming_matrix(strip_size=strip_size)
+            return self.load_streaming_matrix(strip_size=strip_size, **mk)
 
         if jax.process_count() > 1:
             if self.qc_capture is not None and self.n_pca_snps > 0:
-                sm = self._matrix_from_capture_multiproc(mesh)
+                sm = self._matrix_from_capture_multiproc(mesh, mk)
                 if sm is not None:
                     return sm
             self.qc_capture = None  # non-canonical mesh: release batches
@@ -707,6 +734,7 @@ class PreparedData:
                     n_samples=self.n_samples,
                     mesh=mesh,
                     packed=True,
+                    **mk,
                 )
                 if (
                     self.config.missing_policy == "error"
@@ -730,6 +758,7 @@ class PreparedData:
                 n_rows=self.n_pca_snps,
                 n_samples=self.n_samples,
                 mesh=mesh,
+                **mk,
             )
 
         if self.qc_capture is not None and self.n_pca_snps > 0:
@@ -737,7 +766,7 @@ class PreparedData:
                 "Matrix assembly from QC-scan device batches "
                 "(fused path: no BED re-read / re-upload)."
             )
-            return self._matrix_from_capture(mesh)
+            return self._matrix_from_capture(mesh, mk)
 
         if (
             self.config.packed_pipeline
@@ -769,11 +798,12 @@ class PreparedData:
                     std=self.std,
                     n_samples=self.n_samples,
                     mesh=mesh,
+                    **mk,
                 )
             else:
                 sm = ShardedMatrix.from_packed_rows(
                     self.bed.read_packed(idx),
-                    self.mean, self.std, self.n_samples, mesh=mesh,
+                    self.mean, self.std, self.n_samples, mesh=mesh, **mk,
                 )
             if self.config.missing_policy == "error" and sm.count_missing():
                 raise DataPrepError(
@@ -814,6 +844,7 @@ class PreparedData:
                     std=self.std,
                     n_samples=self.n_samples,
                     mesh=mesh,
+                    **mk,
                 )
             packed_all = np.empty(
                 (self.n_pca_snps, -(-self.n_samples // 4)), dtype=np.uint8
@@ -823,12 +854,13 @@ class PreparedData:
                 hi = min(lo + step, self.n_pca_snps)
                 packed_all[lo:hi] = read_strip_repack(lo, hi)
             return ShardedMatrix.from_packed_rows(
-                packed_all, self.mean, self.std, self.n_samples, mesh=mesh
+                packed_all, self.mean, self.std, self.n_samples, mesh=mesh,
+                **mk,
             )
 
         gen, means, stds = self._strip_gen(strip_size)
         return ShardedMatrix.from_arrays(
-            gen, means=means, stds=stds, mesh=mesh
+            gen, means=means, stds=stds, mesh=mesh, **mk
         )
 
 

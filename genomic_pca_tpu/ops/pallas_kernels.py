@@ -995,10 +995,11 @@ def fused_gram_q8_packed(
 # Same W = A B / T = A^T W split as the 2-D bf16 pair, but the matmuls
 # stay int8: these kernels compute ONLY the raw integer products
 # sum(G0 bq) and sum(G0^T z8) — the standardization corrections, the
-# z re-quantization, and the rank-1 term run in XLA on the small (D, L)
-# intermediate between the two calls (parallel/sharded.py
-# `local_gram_q8`), where they cost a few elementwise passes over
-# D*L*4 bytes (~4% of one packed-matrix read at biobank N).
+# z re-quantization (per row tile, scales carried into the left kernel),
+# and the rank-1 term run in XLA on the small (D, L) intermediate
+# between the two calls (parallel/sharded.py `_q8_pass_2d`), where they
+# cost a few elementwise passes over D*L*4 bytes (~4% of one
+# packed-matrix read at biobank N).
 # ---------------------------------------------------------------------------
 
 
@@ -1027,7 +1028,7 @@ def _right2d_q8_kernel(g_ref, b_ref, out_ref, *, packed, swar):
     out_ref[:] += w.astype(jnp.float32)
 
 
-def _left2d_q8_kernel(g_ref, z_ref, out_ref, *, packed, swar):
+def _left2d_q8_kernel(g_ref, z_ref, sz_ref, out_ref, *, packed, swar):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -1040,7 +1041,10 @@ def _left2d_q8_kernel(g_ref, z_ref, out_ref, *, packed, swar):
         g0, z_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    out_ref[:] += t.astype(jnp.float32)
+    # Per-row-tile dequant scale: the caller quantized z tile-by-tile
+    # (tighter scales than one global one); apply before accumulating
+    # across row tiles.
+    out_ref[:] += t.astype(jnp.float32) * sz_ref[0, 0]
 
 
 @functools.partial(
@@ -1091,13 +1095,15 @@ def right_apply_2d_q8(
 )
 def left_apply_2d_q8(
     geno: jax.Array,  # (D, N) int8 or (D, N4) uint8 packed
-    z8: jax.Array,  # (D, L) int8
+    z8: jax.Array,  # (D, L) int8, quantized per row tile of tile_d
+    sz: jax.Array,  # (D/tile_d, 1) f32 per-row-tile dequant scales
     tile_d: int = 512,
     tile_n: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """sum_i G0^T z8: (N, L) / (4*N4, L) f32 of raw integer products
-    (tile-local plane-major sample order when packed)."""
+    """sum_i G0^T (z8 * sz): (N, L) / (4*N4, L) f32 with the per-tile
+    quantization scales applied (tile-local plane-major sample order
+    when packed)."""
     packed = geno.dtype == jnp.uint8
     d, nc = geno.shape
     ell = z8.shape[1]
@@ -1114,6 +1120,8 @@ def left_apply_2d_q8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_d, ell), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bfac * tile_n, ell), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
@@ -1127,4 +1135,47 @@ def left_apply_2d_q8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(geno, z8)
+    )(geno, z8, sz)
+
+
+def q8_power_pass_2d(
+    geno: jax.Array,  # (D, N) int8 or (D, N4) uint8 packed
+    inv_std: jax.Array,  # (D, 1) f32
+    u: jax.Array,  # (D, 1) f32 = mean * inv_std
+    bq: jax.Array,  # (N, L) / (4*N4, L) int8 quantized basis
+    sb: jax.Array,  # (1, 1) f32 basis dequant scale
+    csum: jax.Array,  # (1, L) f32 column-sums of bq, pre-scaled by sb
+    tile_d: int = 512,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """One quantized power pass on the 2-D tiled kernels.
+
+    The biobank-N analog of `fused_gram_q8` (same argument contract):
+    W = G0 bq and T = G0^T z8 run as int8-MXU pallas calls; the
+    standardization corrections, the per-row-tile re-quantization of z,
+    and the rank-1 term run in XLA on the small (D, L) intermediate
+    between them.  Returns (G0^T(s.y) partial, u^T y partial) — the
+    caller forms T = out - ru.  Sample-indexed arrays ride in the
+    TILE-LOCAL plane-major order when packed.
+    """
+    d = geno.shape[0]
+    ell = bq.shape[1]
+    assert d % tile_d == 0, (d, tile_d)
+    w_raw = right_apply_2d_q8(
+        geno, bq, tile_d=tile_d, tile_n=tile_n, interpret=interpret
+    )  # (D, L) f32 = G0 bq
+    y = inv_std * (w_raw * sb[0, 0]) - u * csum  # (D, L) = A bq*sb
+    z = inv_std * y
+    nt = d // tile_d
+    z3 = z.reshape(nt, tile_d, ell)
+    sz = jnp.max(jnp.abs(z3), axis=(1, 2)) * (1.0 / 127.0) + 1e-30  # (nt,)
+    z8 = jnp.clip(
+        jnp.round(z3 * (1.0 / sz)[:, None, None]), -127.0, 127.0
+    ).astype(jnp.int8).reshape(d, ell)
+    out = left_apply_2d_q8(
+        geno, z8, sz.reshape(nt, 1), tile_d=tile_d, tile_n=tile_n,
+        interpret=interpret,
+    )
+    ru = jnp.sum(u * y, axis=0, keepdims=True)
+    return out, ru

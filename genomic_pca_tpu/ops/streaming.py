@@ -93,13 +93,17 @@ class StreamingMatrix:
         strip_size: int,
         mode: Optional[str] = None,
         tile_d: int = 1024,
-        kernel_precision: str = "bf16",
+        kernel_precision: str = "q8",
         prefetch_depth: int = 3,
         prefetch_workers: int = 4,
         packed: bool = False,
         devices=None,
+        q8_polish: Optional[int] = None,
+        missing_fraction: Optional[float] = None,
     ):
-        from genomic_pca_tpu.parallel.sharded import auto_tile_d, packed_cols
+        from genomic_pca_tpu.parallel.sharded import (
+            auto_tile_d, packed_cols, resolve_q8_polish,
+        )
 
         # Multi-chip streaming: strips round-robin across the mesh's
         # local devices (strip i -> device i mod D), so HBM ingest
@@ -163,6 +167,13 @@ class StreamingMatrix:
                 self._perm = pk.plane_major_perm(self.n_pad)
             self._invp = np.argsort(self._perm)
         self.kernel_precision = kernel_precision
+        self.q8_polish = resolve_q8_polish(q8_polish, missing_fraction)
+        if kernel_precision == "q8" and self.mode.startswith("pallas"):
+            log.info(
+                "Streaming container: int8-MXU quantized steering passes "
+                "active (mode=%s, packed=%s, polish=%d).",
+                self.mode, packed, self.q8_polish,
+            )
         self.prefetch_depth = prefetch_depth
         self.prefetch_workers = prefetch_workers
         self.last_telemetry = None
@@ -226,23 +237,31 @@ class StreamingMatrix:
             return jnp.take(t, jnp.asarray(self._invp), axis=0)
         return t
 
+    @property
+    def _exact_precision(self) -> str:
+        """Precision for the exact kernel passes ("q8" steers only the
+        power iterations; every other product runs bf16/f32)."""
+        p = self.kernel_precision
+        return "bf16" if p == "q8" else p
+
     def _strip_right(self, g, m, iv, b):
         interpret = self.mode.endswith("_interpret")
+        precision = self._exact_precision
         if self.mode.startswith("pallas2d"):
             if self.packed:
                 return pk.fused_right_apply_2d_packed(
                     g, m, iv, b, tile_d=self.tile_d, tile_n4=self.tile_n,
-                    precision=self.kernel_precision, interpret=interpret,
+                    precision=precision, interpret=interpret,
                 )
             return pk.fused_right_apply_2d(
                 g, m, iv, b, tile_d=self.tile_d, tile_n=self.tile_n,
-                precision=self.kernel_precision, interpret=interpret,
+                precision=precision, interpret=interpret,
             )
         if self.mode.startswith("pallas"):
             fn = pk.fused_right_apply_packed if self.packed else pk.fused_right_apply
             return fn(
                 g, m, iv, b, tile_d=self.tile_d,
-                precision=self.kernel_precision, interpret=interpret,
+                precision=precision, interpret=interpret,
             )
         if self.packed:
             return _xla_strip_right_packed(g, m, iv, b)
@@ -250,26 +269,47 @@ class StreamingMatrix:
 
     def _strip_gram(self, g, m, iv, b):
         interpret = self.mode.endswith("_interpret")
+        precision = self._exact_precision
         if self.mode.startswith("pallas2d"):
             w = self._strip_right(g, m, iv, b)
             if self.packed:
                 return pk.fused_left_apply_2d_packed(
                     g, m, iv, w, tile_d=self.tile_d, tile_n4=self.tile_n,
-                    precision=self.kernel_precision, interpret=interpret,
+                    precision=precision, interpret=interpret,
                 )
             return pk.fused_left_apply_2d(
                 g, m, iv, w, tile_d=self.tile_d, tile_n=self.tile_n,
-                precision=self.kernel_precision, interpret=interpret,
+                precision=precision, interpret=interpret,
             )
         if self.mode.startswith("pallas"):
             fn = pk.fused_gram_apply_packed if self.packed else pk.fused_gram_apply
             return fn(
                 g, m, iv, b, tile_d=self.tile_d,
-                precision=self.kernel_precision, interpret=interpret,
+                precision=precision, interpret=interpret,
             )
         if self.packed:
             return _xla_strip_gram_packed(g, m, iv, b)
         return _xla_strip_gram(g, m, iv, b)
+
+    def _strip_gram_q8(self, g, m, iv, bq, sb, csum):
+        """One quantized power pass over a strip: per-strip partial of
+        T = A^T A b with the rank-1 term already folded (linear, so the
+        fold commutes with the strip sum).  int8-MXU matmuls; same
+        quantization model as the sharded container."""
+        interpret = self.mode.endswith("_interpret")
+        u = m * iv
+        if self.mode.startswith("pallas2d"):
+            o, ru = pk.q8_power_pass_2d(
+                g, iv, u, bq, sb, csum, tile_d=self.tile_d,
+                tile_n=self.tile_n, interpret=interpret,
+            )
+        else:
+            fn = pk.fused_gram_q8_packed if self.packed else pk.fused_gram_q8
+            o, ru = fn(
+                g, iv, u, bq, sb, csum, tile_d=self.tile_d,
+                interpret=interpret,
+            )
+        return o - ru
 
     # ---- multi-device accumulation helpers ---------------------------
     def _replicate_b(self, bp: jax.Array):
@@ -300,6 +340,54 @@ class StreamingMatrix:
             accs[d] = part if d not in accs else accs[d] + part
         acc = self._combine(accs)
         return self._unperm(acc)[: self.n_samples, :ell]
+
+    @staticmethod
+    @jax.jit
+    def _quantize_basis(bp: jax.Array):
+        """Padded basis -> (int8 basis, (1,1) scale, (1,L) scaled
+        column sums) — one global scale (orthonormal columns share
+        magnitude; per-tile re-quantization of z happens in-kernel)."""
+        sb = jnp.maximum(jnp.max(jnp.abs(bp)), 1e-30) / 127.0
+        bq = jnp.clip(jnp.round(bp / sb), -127.0, 127.0).astype(jnp.int8)
+        csum = (jnp.sum(bq, axis=0, dtype=jnp.float32) * sb)[None, :]
+        return bq, sb.reshape(1, 1), csum
+
+    def _gram_apply_q8(self, b: jax.Array) -> jax.Array:
+        """Quantized steering pass: A^T A b with int8-MXU matmuls per
+        strip.  Used only inside `power_iterate`; user-visible products
+        always run the exact kernels."""
+        ell = b.shape[1]
+        bq, sb, csum = self._quantize_basis(self._pad_b(b))
+        parts = [
+            tuple(jax.device_put(x, d) for x in (bq, sb, csum))
+            for d in self.devices
+        ]
+        accs: dict = {}
+        for i, (g, m, iv) in enumerate(self._prefetcher()):
+            di = i % len(self.devices)
+            d = self.devices[di]
+            part = self._strip_gram_q8(g, m, iv, *parts[di])
+            accs[d] = part if d not in accs else accs[d] + part
+        acc = self._combine(accs)
+        return self._unperm(acc)[: self.n_samples, :ell]
+
+    def power_iterate(self, b0: jax.Array, n_iter: int) -> jax.Array:
+        """n_iter x (B <- qr(A^T A B)), one full streaming pass each:
+        (n_samples, l) orthonormal basis.  With kernel_precision="q8"
+        the first n_iter - q8_polish passes run the int8-MXU kernels
+        (2x the bf16 MXU rate at 1/1 HBM traffic — the strips re-read
+        either way) and the final `q8_polish` passes run exact, the
+        same polish discipline as ShardedMatrix.power_iterate."""
+        b = jnp.asarray(b0, jnp.float32)
+        use_q8 = (
+            self.kernel_precision == "q8"
+            and self.mode.startswith("pallas")
+        )
+        n_q8 = max(n_iter - self.q8_polish, 0) if use_q8 else 0
+        for t in range(n_iter):
+            tmat = self._gram_apply_q8(b) if t < n_q8 else self.gram_apply(b)
+            b, _ = jnp.linalg.qr(tmat)
+        return b
 
     def tsq_accumulate(self, b: jax.Array) -> jax.Array:
         ell = b.shape[1]

@@ -22,6 +22,7 @@ equivalence table.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Iterator, List, Optional
 
 import jax
@@ -34,7 +35,33 @@ from genomic_pca_tpu.ops import pallas_kernels as pk
 from genomic_pca_tpu.ops.standardize import standardize_rows as _standardize
 from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
 
+log = logging.getLogger(__name__)
+
 MISSING = -127
+
+
+def resolve_q8_polish(
+    q8_polish: Optional[int], missing_fraction: Optional[float]
+) -> int:
+    """Exact-iteration count finishing a quantized power loop.
+
+    The q8 steering passes approximate each missing genotype as raw 0
+    (a -u_i operator perturbation, ops/pallas_kernels.py q8 notes), so
+    the polish budget scales with how much missingness QC could have
+    admitted: <=2% (the default 0.98 call-rate gate) is validated at one
+    polish pass (|r| >= 0.99999 vs float64, tests/test_q8.py); looser
+    gates get a second exact pass (validated at 10% missing).  Explicit
+    `q8_polish` overrides; unknown missingness takes the conservative
+    default for the default QC gate.
+    """
+    if q8_polish is not None:
+        if q8_polish < 1:
+            raise ValueError("q8_polish must be >= 1 (the Rayleigh-Ritz "
+                             "basis must come from an exact pass)")
+        return int(q8_polish)
+    if missing_fraction is not None and missing_fraction > 0.02:
+        return 2
+    return 1
 
 
 def _round_up(x: int, m: int) -> int:
@@ -280,6 +307,8 @@ class ShardedMatrix:
         tile_d: int = 1024,
         kernel_precision: str = "q8",
         row_segments: Optional[np.ndarray] = None,
+        q8_polish: Optional[int] = None,
+        missing_fraction: Optional[float] = None,
     ):
         self.geno = geno
         self.mean = mean
@@ -287,6 +316,7 @@ class ShardedMatrix:
         self.n_rows = n_rows
         self.n_samples = n_samples
         self.mesh = mesh
+        self.q8_polish = resolve_q8_polish(q8_polish, missing_fraction)
         # Segmented row layout (multi-process fused assembly): (S, 3)
         # rows of (matrix_row_start, pca_row_start, count) — real rows
         # live in per-process segments with inert padding between them
@@ -328,6 +358,14 @@ class ShardedMatrix:
             else:
                 self._perm = pk.plane_major_perm(self.n_pad)
             self._invp = np.argsort(self._perm)
+        if kernel_precision == "q8" and self.mode.startswith("pallas"):
+            log.info(
+                "int8-MXU quantized power path active (mode=%s, packed=%s,"
+                " polish=%d exact pass%s; missing genotypes approximate to"
+                " raw 0 during steering iterations only).",
+                self.mode, self.packed, self.q8_polish,
+                "" if self.q8_polish == 1 else "es",
+            )
         self._build_kernels()
 
     def _pick_tile_n(self) -> int:
@@ -357,6 +395,8 @@ class ShardedMatrix:
         mode: Optional[str] = None,
         tile_d: int = 1024,
         kernel_precision: str = "q8",
+        q8_polish: Optional[int] = None,
+        missing_fraction: Optional[float] = None,
     ) -> "ShardedMatrix":
         """Pack host int8 strips into the padded sharded 2-D layout.
 
@@ -425,6 +465,8 @@ class ShardedMatrix:
             mode=mode,
             tile_d=tile_d,
             kernel_precision=kernel_precision,
+            q8_polish=q8_polish,
+            missing_fraction=missing_fraction,
         )
 
     # ------------------------------------------------------------------
@@ -437,6 +479,8 @@ class ShardedMatrix:
         mode: Optional[str] = None,
         tile_d: int = 1024,
         kernel_precision: str = "q8",
+        q8_polish: Optional[int] = None,
+        missing_fraction: Optional[float] = None,
         center_only: bool = False,
         packed: bool = False,
     ) -> "ShardedMatrix":
@@ -513,6 +557,8 @@ class ShardedMatrix:
             mode=mode,
             tile_d=tile_d,
             kernel_precision=kernel_precision,
+            q8_polish=q8_polish,
+            missing_fraction=missing_fraction,
         )
 
     # ------------------------------------------------------------------
@@ -526,6 +572,8 @@ class ShardedMatrix:
         mode: Optional[str] = None,
         tile_d: int = 1024,
         kernel_precision: str = "q8",
+        q8_polish: Optional[int] = None,
+        missing_fraction: Optional[float] = None,
         packed: bool = False,
         center_only: bool = False,
     ) -> "ShardedMatrix":
@@ -650,6 +698,8 @@ class ShardedMatrix:
             mode=mode,
             tile_d=tile_d,
             kernel_precision=kernel_precision,
+            q8_polish=q8_polish,
+            missing_fraction=missing_fraction,
             row_segments=segments,
         )
 
@@ -664,6 +714,8 @@ class ShardedMatrix:
         mode: Optional[str] = None,
         tile_d: int = 1024,
         kernel_precision: str = "q8",
+        q8_polish: Optional[int] = None,
+        missing_fraction: Optional[float] = None,
     ) -> "ShardedMatrix":
         """Build the packed (2-bit) sharded matrix from raw PLINK bytes.
 
@@ -697,6 +749,8 @@ class ShardedMatrix:
             mode=mode,
             tile_d=tile_d,
             kernel_precision=kernel_precision,
+            q8_polish=q8_polish,
+            missing_fraction=missing_fraction,
         )
 
     # ------------------------------------------------------------------
@@ -711,6 +765,8 @@ class ShardedMatrix:
         mode: Optional[str] = None,
         tile_d: int = 1024,
         kernel_precision: str = "q8",
+        q8_polish: Optional[int] = None,
+        missing_fraction: Optional[float] = None,
         strip_rows: int = 262_144,
     ) -> "ShardedMatrix":
         """Packed constructor that streams strip-sized host buffers to
@@ -775,6 +831,8 @@ class ShardedMatrix:
             mode=mode,
             tile_d=tile_d,
             kernel_precision=kernel_precision,
+            q8_polish=q8_polish,
+            missing_fraction=missing_fraction,
         )
 
     # ------------------------------------------------------------------
@@ -801,6 +859,17 @@ class ShardedMatrix:
                     return q8_fn(
                         g, iv, u, bq, sb, csum, tile_d=tile_d,
                         interpret=interpret,
+                    )
+
+            elif self.mode in ("pallas2d", "pallas2d_interpret"):
+                # Biobank-wide sample axes: the W/T split through the
+                # 2-D tiled int8-MXU kernels, standardization
+                # corrections + per-row-tile re-quantization in XLA on
+                # the small (D, L) intermediate (pk.q8_power_pass_2d).
+                def local_gram_q8(g, iv, u, bq, sb, csum):
+                    return pk.q8_power_pass_2d(
+                        g, iv, u, bq, sb, csum, tile_d=tile_d,
+                        tile_n=tile_n, interpret=interpret,
                     )
 
         if self.mode in ("pallas2d", "pallas2d_interpret"):
@@ -1041,13 +1110,14 @@ class ShardedMatrix:
             return t.at[n_samples:, :].set(0.0)
 
         use_q8 = local_gram_q8 is not None
-        # With q8 enabled the LAST power iteration always runs through
+        # With q8 enabled the LAST power iteration(s) always run through
         # the exact bf16 kernel: the quantized passes only steer the
         # subspace (8-bit rounding + the missing->raw-0 approximation,
-        # ops/pallas_kernels.py q8 notes); one exact pass before the
-        # Rayleigh-Ritz restores bf16-path quality (|r| >= 0.999999 vs
-        # float64 with 2% missing, VALIDATION.md).
-        _Q8_POLISH = 1
+        # ops/pallas_kernels.py q8 notes); the exact polish passes before
+        # the Rayleigh-Ritz restore bf16-path quality (|r| >= 0.99999 vs
+        # float64, tests/test_q8.py; count resolved per the observed
+        # missingness bound — `resolve_q8_polish`).
+        q8_polish = self.q8_polish
 
         def power_loop(g, m, iv, bp, n_iter):
             def body_exact(_, cur):
@@ -1065,7 +1135,7 @@ class ShardedMatrix:
                 t = gram_q8_sm(g, m, iv, bq, sb.reshape(1, 1), csum)
                 return cholqr2(zero_pad_rows(t))
 
-            n_q8 = max(n_iter - _Q8_POLISH, 0)
+            n_q8 = max(n_iter - q8_polish, 0)
             out = jax.lax.fori_loop(0, n_q8, body_q8, bp)
             return jax.lax.fori_loop(0, n_iter - n_q8, body_exact, out)
 

@@ -68,23 +68,65 @@ def process_count_nodevice() -> int:
 
     `jax.process_count()` materializes the backend (it enumerates
     devices), which on a remote backend blocks the MAIN thread on the
-    ~60-70 s init this module exists to hide.  Multi-controller JAX
-    requires `jax.distributed.initialize`, so if the distributed client
-    was never created the count is definitionally 1; otherwise read the
-    count off the distributed state.  Falls back to the real call if
-    the internals move.
+    ~60-70 s init this module exists to hide.  Resolution order:
+
+    1. The `jax.distributed` client, when one was created — its
+       num_processes is authoritative without touching devices.
+    2. If the backend is ALREADY initialized (warm-up thread finished,
+       or any earlier device op ran), `jax.process_count()` is free —
+       and it matters: on multi-host TPU pod slices the PJRT client
+       reports the real host count even when `jax.distributed` was
+       never initialized, and taking the single-process branch there
+       while the array layer shards by the real count would duplicate
+       every variant (see `assert_process_count_consistent`).
+    3. Otherwise no multi-controller runtime can exist yet in this
+       process, so the count is 1 *for now*; call sites that later
+       build global arrays re-validate via
+       `assert_process_count_consistent` once the backend is up.
     """
     try:
         from jax._src import distributed
 
         state = distributed.global_state
-        if getattr(state, "client", None) is None:
-            return 1
-        n = getattr(state, "num_processes", None)
-        if n:
-            return int(n)
+        if getattr(state, "client", None) is not None:
+            n = getattr(state, "num_processes", None)
+            if n:
+                return int(n)
     except Exception:
         pass
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            import jax
+
+            return jax.process_count()
+    except Exception:
+        import jax
+
+        return jax.process_count()
+    return 1
+
+
+def assert_process_count_consistent(assumed: int) -> None:
+    """Fail fast if an early (no-device) process count drove a layout
+    decision that the now-initialized backend contradicts.
+
+    Called before building global sharded arrays: by then the backend
+    is (or is about to be) materialized anyway, so `jax.process_count()`
+    is free.  A mismatch means host-side work was partitioned for
+    `assumed` processes while the array layer would shard for the real
+    count — duplicating or dropping variants — so it must be a hard
+    error, not a warning.
+    """
     import jax
 
-    return jax.process_count()
+    real = jax.process_count()
+    if real != assumed:
+        raise RuntimeError(
+            f"Process-count mismatch: host-side partitioning assumed "
+            f"{assumed} process(es) but the initialized backend reports "
+            f"{real}.  On multi-host TPU slices set JAX_COORDINATOR_ADDRESS "
+            f"(jax.distributed.initialize) before the workflow starts, or "
+            f"initialize the backend first."
+        )

@@ -89,6 +89,17 @@ def run_vcf_workflow(
         from genomic_pca_tpu.parallel.sharded import pack_int8_rows
 
         n_samples = len(sample_names)
+        # The parsing stage partitioned files by the no-device process
+        # count; the device ops below materialize the backend anyway, so
+        # re-validate against the REAL count first (a multi-host PJRT
+        # runtime without jax.distributed would otherwise ingest every
+        # file on every host while the array layer shards by the real
+        # count — duplicated variants, corrupted eigenvalues).
+        from genomic_pca_tpu.utils.warmup import (
+            assert_process_count_consistent,
+        )
+
+        assert_process_count_consistent(n_proc)
         if n_proc == 1:
             packed_parts: list = []
             mean_parts: list = []
