@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(defaults to 0.01 when processing).")
     p.add_argument("--rfit-seed", type=int, default=None,
                    help="Seed for randomized SVD (VCF workflow).")
+    p.add_argument("--rfit-tolerance", type=float, default=None,
+                   help="Optional convergence tolerance for the randomized "
+                        "SVD power loop (VCF workflow): early-exits once "
+                        "the relative subspace residual of a pass drops "
+                        "below it.  Default: run all iterations "
+                        "(the rfit contract's tolerance=None).")
 
     # --- EigenSNP workflow ---
     p.add_argument("--eigensnp", action="store_true",
@@ -127,6 +133,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "picks host for the single-process packed "
                         "pipeline.  QC decisions are bit-identical "
                         "across modes.")
+
+    # --- Projection (new capability, DEVIATIONS.md §8) ---
+    p.add_argument("--write-moments", action="store_true",
+                   help="EigenSNP: also write {prefix}.eigensnp.moments.tsv "
+                        "(per-SNP training mean/std) so the fitted model "
+                        "can be re-loaded for --project.")
+    p.add_argument("--project", action="store_true",
+                   help="Project NEW samples into a previously fitted PC "
+                        "space: requires --bed-file (new samples), "
+                        "--project-loadings and --project-moments.  Writes "
+                        "{prefix}.projected.pca.tsv.")
+    p.add_argument("--project-loadings", default=None,
+                   help="Fitted {prefix}.eigensnp.loadings.tsv to project "
+                        "through.")
+    p.add_argument("--project-moments", default=None,
+                   help="Matching {prefix}.eigensnp.moments.tsv with the "
+                        "training standardization moments.")
     return p
 
 
@@ -147,6 +170,34 @@ def main(argv: Optional[List[str]] = None) -> int:
     set_default_threads(args.threads)
 
     # Conditional requiredness (main.rs:519-540).
+    if args.project:
+        missing = [
+            name
+            for name, val in (("--bed-file", args.bed_file),
+                              ("--project-loadings", args.project_loadings),
+                              ("--project-moments", args.project_moments))
+            if val is None
+        ]
+        if missing:
+            log.error("%s required when --project is used.", ", ".join(missing))
+            return 2
+        from genomic_pca_tpu.workflows import run_projection_workflow
+        from genomic_pca_tpu.utils.profiling import maybe_trace
+
+        try:
+            with maybe_trace(args.profile_dir):
+                run_projection_workflow(
+                    args.bed_file,
+                    args.project_loadings,
+                    args.project_moments,
+                    args.output_prefix,
+                )
+        except Exception:
+            log.exception("Workflow failed.")
+            return 1
+        log.info("Total run time: %.3fs", time.perf_counter() - t0)
+        return 0
+
     if args.eigensnp:
         missing = [
             name
@@ -206,6 +257,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 run_eigensnp_workflow(
                     prep_cfg, algo_cfg, args.output_prefix,
                     checkpoint_dir=args.eigensnp_checkpoint_dir,
+                    write_moments=args.write_moments,
                 )
         else:
             with maybe_trace(args.profile_dir):
@@ -215,6 +267,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     k=args.components,
                     maf=args.maf,
                     rfit_seed=args.rfit_seed,
+                    rfit_tolerance=args.rfit_tolerance,
                     threads=threads,
                 )
     except Exception:

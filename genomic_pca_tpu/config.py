@@ -86,6 +86,9 @@ class RsvdConfig:
     n_oversamples: int = 10
     n_power_iter: int = 4
     seed: Optional[int] = None
+    # rfit's tolerance argument: subspace-residual early exit for the
+    # power loop.  The reference always passes None (main.rs:648-656).
+    tolerance: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

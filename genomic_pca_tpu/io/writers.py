@@ -103,3 +103,64 @@ def write_loadings(
             fh.write(f"{variant_ids[v_idx]}\t{chromosomes[v_idx]}\t{positions[v_idx]}")
             fh.write("".join(f"\t{v:.6f}" for v in loadings[v_idx]))
             fh.write("\n")
+
+
+def write_moments(
+    prefix: str,
+    variant_ids: Sequence[str],
+    means: np.ndarray,
+    stds: np.ndarray,
+) -> None:
+    """Write per-SNP training standardization moments
+    (`{prefix}.eigensnp.moments.tsv`).
+
+    Extension over the reference (its PCA model holds the moments
+    in-memory only, so `transform` cannot outlive the process —
+    DEVIATIONS.md §8): this artifact plus the loadings TSV make the
+    fitted model re-loadable for `--project`.  Full precision (%.9g) —
+    these feed new-sample standardization, not human eyes.
+    """
+    means = np.asarray(means, dtype=np.float64)
+    stds = np.asarray(stds, dtype=np.float64)
+    if not (len(variant_ids) == len(means) == len(stds)):
+        raise ValueError(
+            f"Mismatch: ids={len(variant_ids)} means={len(means)} "
+            f"stds={len(stds)}"
+        )
+    with _open_out(prefix, "eigensnp.moments.tsv") as fh:
+        fh.write("VariantID\tMean\tStd\n")
+        for i, vid in enumerate(variant_ids):
+            fh.write(f"{vid}\t{means[i]:.9g}\t{stds[i]:.9g}\n")
+
+
+def read_moments(path: str):
+    """Read a moments TSV -> (variant_ids list, means f64, stds f64)."""
+    ids, means, stds = [], [], []
+    with open(path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        if header[:3] != ["VariantID", "Mean", "Std"]:
+            raise ValueError(f"Not a moments TSV: {path} (header {header})")
+        for line in fh:
+            vid, m, s = line.rstrip("\n").split("\t")
+            ids.append(vid)
+            means.append(float(m))
+            stds.append(float(s))
+    return ids, np.asarray(means), np.asarray(stds)
+
+
+def read_loadings(path: str):
+    """Read a `{prefix}.eigensnp.loadings.tsv` ->
+    (variant_ids list, loadings (D, K) f64)."""
+    ids, rows = [], []
+    with open(path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        if header[:3] != ["VariantID", "Chrom", "Pos"] or not all(
+            h.startswith("PC") for h in header[3:]
+        ):
+            raise ValueError(f"Not a loadings TSV: {path} (header {header})")
+        k = len(header) - 3
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            ids.append(parts[0])
+            rows.append([float(x) for x in parts[3:]])
+    return ids, np.asarray(rows, dtype=np.float64).reshape(len(ids), k)

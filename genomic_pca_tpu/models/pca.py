@@ -64,6 +64,9 @@ class PcaResult:
     singular_values: np.ndarray  # (k,)
     loadings: Optional[np.ndarray]  # (n_variants, k) or None if not requested
     k: int
+    # Power iterations actually run (< n_power_iter when a tolerance
+    # triggered early exit; equal otherwise).
+    n_iter_done: Optional[int] = None
 
 
 def validate_k(k: int, n_samples: int, n_features: int) -> int:
@@ -93,12 +96,19 @@ def streamed_pca(
     seed: Optional[int] = None,
     compute_loadings: bool = False,
     lane_fill: bool = True,
+    tolerance: Optional[float] = None,
 ) -> PcaResult:
     """Randomized PCA of the implicit standardized matrix A (D x N).
 
     `lane_fill=True` (default) widens the sketch to the 128-lane MXU
     tile the kernels pad to anyway — same wall-clock on TPU, strictly
     better convergence (see `lane_fill_width`).
+
+    `tolerance` completes the `rfit` API contract
+    (/root/reference/src/main.rs:648-656, tolerance: Option<f64>): the
+    power loop early-exits once the relative subspace residual
+    ||T - B(B^T T)||_F / ||T||_F of a pass drops below it.  None (the
+    reference's only observed value) runs all `n_power_iter` passes.
     """
     n = matrix.n_samples
     d = matrix.n_rows
@@ -111,24 +121,49 @@ def streamed_pca(
     b = jax.random.normal(key, (n, ell), dtype=jnp.float32)
 
     n_iter = max(n_power_iter, 1)
+    n_done = n_iter
     if hasattr(matrix, "pca_core"):
         # Entire PCA (power loop + eigensolve + loadings) as ONE compiled
         # program/dispatch (ShardedMatrix).
-        v_k, sigma_k, evals_k, loadings_full = matrix.pca_core(b, n_iter, k)
+        out = matrix.pca_core(b, n_iter, k, tolerance=tolerance)
+        if tolerance is None:
+            v_k, sigma_k, evals_k, loadings_full = out
+        else:
+            v_k, sigma_k, evals_k, loadings_full, n_done = out
+            if n_done < n_iter:
+                log.info(
+                    "rfit tolerance %.3g reached after %d / %d power "
+                    "iterations.", tolerance, n_done, n_iter,
+                )
         return PcaResult(
             scores=np.asarray(v_k * sigma_k[None, :]),
             eigenvalues=np.asarray(evals_k) / max(n - 1, 1),
             singular_values=np.asarray(sigma_k),
             loadings=loadings_full if compute_loadings else None,
             k=k,
+            n_iter_done=n_done,
         )
     if hasattr(matrix, "power_iterate"):
         # Whole loop on device in one dispatch.
-        b = matrix.power_iterate(b, n_iter)
+        out = matrix.power_iterate(b, n_iter, tolerance=tolerance)
+        if tolerance is None:
+            b = out
+        else:
+            b, n_done = out
     else:
-        for _ in range(n_iter):
+        for it in range(n_iter):
             t = matrix.gram_apply(b)  # A^T A B, one streamed pass
+            res = None
+            if tolerance is not None and it > 0:
+                proj = b.T @ t
+                res = float(
+                    jnp.linalg.norm(t - b @ proj)
+                    / (jnp.linalg.norm(t) + 1e-30)
+                )
             b, _ = jnp.linalg.qr(t)
+            if res is not None and res < tolerance:
+                n_done = it + 1
+                break
 
     # Streaming containers fuse the condensed Gram with an A B capture
     # when loadings are wanted: loadings = (A B) W / sigma, saving the
@@ -192,3 +227,39 @@ def transform(
         s = np.asarray(std, dtype=np.float64)
         x /= np.where(s > 0, s, 1.0)[:, None]
     return (x.T @ np.asarray(loadings, dtype=np.float64)).astype(np.float32)
+
+
+def transform_device(
+    new_geno: np.ndarray,
+    loadings: np.ndarray,
+    mean: np.ndarray,
+    std: Optional[np.ndarray] = None,
+    mesh=None,
+) -> np.ndarray:
+    """Device-path `transform`: same contract as `transform`, but the
+    standardize + projection contraction runs on the accelerator.
+
+    Builds the sharded standardized operator over the NEW samples with
+    the TRAINING moments and projects through the fitted loadings via
+    `ShardedMatrix.left_apply` — the variant axis shards over the mesh
+    and only the (n_new, k) result crosses back.  Missing genotypes
+    standardize to zero = impute-to-training-mean, identical to the
+    host path."""
+    from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+
+    new_geno = np.asarray(new_geno, dtype=np.int8)
+    d = new_geno.shape[0]
+    stds = (
+        np.ones(d, dtype=np.float32)
+        if std is None
+        else np.asarray(std, dtype=np.float32)
+    )
+    sm = ShardedMatrix.from_arrays(
+        iter([new_geno]),
+        means=[np.asarray(mean, dtype=np.float32)],
+        stds=[stds],
+        mesh=mesh,
+    )
+    return sm.left_apply(np.asarray(loadings, dtype=np.float32)).astype(
+        np.float32
+    )

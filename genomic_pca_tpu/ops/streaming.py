@@ -371,23 +371,50 @@ class StreamingMatrix:
         acc = self._combine(accs)
         return self._unperm(acc)[: self.n_samples, :ell]
 
-    def power_iterate(self, b0: jax.Array, n_iter: int) -> jax.Array:
+    def power_iterate(
+        self,
+        b0: jax.Array,
+        n_iter: int,
+        tolerance: Optional[float] = None,
+    ) -> jax.Array:
         """n_iter x (B <- qr(A^T A B)), one full streaming pass each:
         (n_samples, l) orthonormal basis.  With kernel_precision="q8"
         the first n_iter - q8_polish passes run the int8-MXU kernels
         (2x the bf16 MXU rate at 1/1 HBM traffic — the strips re-read
         either way) and the final `q8_polish` passes run exact, the
-        same polish discipline as ShardedMatrix.power_iterate."""
+        same polish discipline as ShardedMatrix.power_iterate.  With
+        `tolerance` the STEERING passes early-exit on the relative
+        subspace residual (exact polish always runs) and the return is
+        (basis, n_iterations_done)."""
         b = jnp.asarray(b0, jnp.float32)
         use_q8 = (
             self.kernel_precision == "q8"
             and self.mode.startswith("pallas")
         )
         n_q8 = max(n_iter - self.q8_polish, 0) if use_q8 else 0
+        n_done = 0
+        converged = False
         for t in range(n_iter):
+            is_polish = use_q8 and t >= n_q8
+            if converged and not is_polish:
+                continue
             tmat = self._gram_apply_q8(b) if t < n_q8 else self.gram_apply(b)
+            res = None
+            if tolerance is not None and t > 0 and not converged:
+                proj = b.T @ tmat
+                res = float(
+                    jnp.linalg.norm(tmat - b @ proj)
+                    / (jnp.linalg.norm(tmat) + 1e-30)
+                )
             b, _ = jnp.linalg.qr(tmat)
-        return b
+            n_done += 1
+            if res is not None and res < tolerance:
+                if not use_q8:
+                    break
+                converged = True  # skip remaining steering; polish runs
+        if tolerance is None:
+            return b
+        return b, n_done
 
     def tsq_accumulate(self, b: jax.Array) -> jax.Array:
         ell = b.shape[1]

@@ -1032,6 +1032,44 @@ class ShardedMatrix:
         def right_sm(g, m, iv, b):
             return local_right(g, m, iv, b)
 
+        # A^T W with W variant-sharded like the genotypes: the device
+        # path for projecting NEW samples through fitted loadings
+        # (PCA::transform, main.rs:659-660).  One pass, not a hot loop,
+        # so a fused XLA strip scan (full-row unpack for packed data)
+        # suffices on every backend mode.
+        lt_tile = self.tile_d
+        lt_packed = self.packed
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(vspec, vspec, vspec, vspec),
+            out_specs=rep,
+            check_vma=False,
+        )
+        def left_sm(g, m, iv, w):
+            d_loc = g.shape[0]
+            n_strips = d_loc // lt_tile
+            g3 = g.reshape(n_strips, lt_tile, g.shape[1])
+            m3 = m.reshape(n_strips, lt_tile, 1)
+            i3 = iv.reshape(n_strips, lt_tile, 1)
+            w3 = w.reshape(n_strips, lt_tile, w.shape[1])
+            cols = (4 * g.shape[1]) if lt_packed else g.shape[1]
+
+            def body(acc, xs):
+                gg, mm, ii, ww = xs
+                if lt_packed:
+                    a = _unpack_planes_std(gg, mm, ii)  # plane-major
+                else:
+                    a = _standardize(gg, mm[:, 0], ii[:, 0])
+                return acc + _dot(a.T, ww), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((cols, w.shape[1]), jnp.float32),
+                (g3, m3, i3, w3),
+            )
+            return jax.lax.psum(acc, VARIANT_AXIS)
+
         n_samples = self.n_samples
         n_pad = self.n_pad
         pallas = self.mode.startswith("pallas")
@@ -1078,6 +1116,19 @@ class ShardedMatrix:
             ell = b.shape[1]
             return right_sm(g, m, iv, pad_b(b))[:, :ell]
 
+        if packed:
+            # left_sm unpacks FULL-width rows, so its sample axis rides
+            # the full plane-major permutation regardless of the
+            # container's (possibly tile-local) hot-path perm.
+            invp_full = np.argsort(pk.plane_major_perm(n_pad))
+
+        @jax.jit
+        def left_k(g, m, iv, w):
+            out = left_sm(g, m, iv, w)
+            if packed:
+                out = jnp.take(out, jnp.asarray(invp_full), axis=0)
+            return out[:n_samples]
+
         def cholqr2(t):
             """Two-pass Cholesky-QR: MXU-only orthonormalization.
 
@@ -1119,42 +1170,80 @@ class ShardedMatrix:
         # missingness bound — `resolve_q8_polish`).
         q8_polish = self.q8_polish
 
-        def power_loop(g, m, iv, bp, n_iter):
-            def body_exact(_, cur):
-                return cholqr2(zero_pad_rows(gram_sm(g, m, iv, cur)))
+        def power_loop(g, m, iv, bp, n_iter, tol=None):
+            """Subspace iteration; returns (basis, n_iterations_done).
 
-            if not use_q8:
-                return jax.lax.fori_loop(0, n_iter, body_exact, bp)
+            `tol` (static) switches the steering loop to a while_loop
+            that exits once the relative subspace residual
+            ||T - B(B^T T)||_F / ||T||_F of a pass drops below tol —
+            the `rfit` tolerance contract
+            (/root/reference/src/main.rs:648-656).  Exact polish passes
+            (q8 discipline) always run in full.
+            """
+            def t_exact(cur):
+                return zero_pad_rows(gram_sm(g, m, iv, cur))
 
-            def body_q8(_, cur):
+            def t_q8(cur):
                 sb = jnp.maximum(jnp.max(jnp.abs(cur)), 1e-30) / 127.0
                 bq = jnp.clip(
                     jnp.round(cur / sb), -127.0, 127.0
                 ).astype(jnp.int8)
                 csum = (jnp.sum(bq, axis=0, dtype=jnp.float32) * sb)[None, :]
-                t = gram_q8_sm(g, m, iv, bq, sb.reshape(1, 1), csum)
-                return cholqr2(zero_pad_rows(t))
+                return zero_pad_rows(
+                    gram_q8_sm(g, m, iv, bq, sb.reshape(1, 1), csum)
+                )
 
+            def run(tfn, max_n, b0):
+                if tol is None:
+                    out = jax.lax.fori_loop(
+                        0, max_n, lambda _, cur: cholqr2(tfn(cur)), b0
+                    )
+                    return out, jnp.int32(max_n)
+
+                def cond(c):
+                    i, _b, res = c
+                    return (i < max_n) & (res >= tol)
+
+                def body(c):
+                    i, cur, _res = c
+                    t = tfn(cur)
+                    # Residual of t against the incoming (orthonormal
+                    # after the first pass) basis; the first pass sees a
+                    # random sketch, whose large residual never exits.
+                    proj = _dot(cur.T, t)
+                    res = jnp.linalg.norm(t - cur @ proj) / (
+                        jnp.linalg.norm(t) + 1e-30
+                    )
+                    return i + 1, cholqr2(t), res
+
+                i, out, _ = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), b0, jnp.float32(jnp.inf))
+                )
+                return out, i
+
+            if not use_q8:
+                return run(t_exact, n_iter, bp)
             n_q8 = max(n_iter - q8_polish, 0)
-            out = jax.lax.fori_loop(0, n_q8, body_q8, bp)
-            return jax.lax.fori_loop(0, n_iter - n_q8, body_exact, out)
+            out, i1 = run(t_q8, n_q8, bp)
+            out, i2 = run(t_exact, n_iter - n_q8, out)
+            return out, i1 + i2
 
         # Whole power-iteration loop on device: n_iter x (gram -> CholQR).
-        @functools.partial(jax.jit, static_argnames=("n_iter",))
-        def power_k(g, m, iv, b, n_iter):
-            out = power_loop(g, m, iv, pad_b(b), n_iter)
+        @functools.partial(jax.jit, static_argnames=("n_iter", "tol"))
+        def power_k(g, m, iv, b, n_iter, tol=None):
+            out, n_done = power_loop(g, m, iv, pad_b(b), n_iter, tol)
             # One exact Householder QR to finish.
             q, _ = jnp.linalg.qr(out)
-            return unperm(q)[:n_samples, : b.shape[1]]
+            return unperm(q)[:n_samples, : b.shape[1]], n_done
 
         # The ENTIRE randomized PCA as one XLA program: power iterations,
         # condensed eigensolve, scores, and (variant-sharded) loadings.
         # On remote-compile backends each program costs minutes to build,
         # so one fused program beats three (power/tsq/right) by ~3x in
         # end-to-end compile time and saves the intermediate dispatches.
-        @functools.partial(jax.jit, static_argnames=("n_iter", "k"))
-        def pca_core_k(g, m, iv, b, n_iter, k):
-            out = power_loop(g, m, iv, pad_b(b), n_iter)
+        @functools.partial(jax.jit, static_argnames=("n_iter", "k", "tol"))
+        def pca_core_k(g, m, iv, b, n_iter, k, tol=None):
+            out, n_done = power_loop(g, m, iv, pad_b(b), n_iter, tol)
             q, _ = jnp.linalg.qr(out)  # (n_pad, l_pad) orthonormal
             gram = tsq_sm(g, m, iv, q)  # (l_pad, l_pad)
             ell = b.shape[1]
@@ -1181,11 +1270,13 @@ class ShardedMatrix:
                 sigma[:k],
                 evals[:k],
                 loadings,  # (d_pad, k), caller slices rows
+                n_done,
             )
 
         self._gram_k = gram_k
         self._tsq_k = tsq_k
         self._right_k = right_k
+        self._left_k = left_k
         self._power_k = power_k
         self._pca_core_k = pca_core_k
 
@@ -1355,19 +1446,76 @@ class ShardedMatrix:
         out = self._right_k(self.geno, self.mean, self.inv_std, b)
         return self._trim_rows(self._rows_to_host(out))
 
-    def power_iterate(self, b0: jax.Array, n_iter: int) -> jax.Array:
-        """n_iter x (B <- qr(A^T A B)) entirely on device: (n_samples, l)
-        orthonormal basis.  One dispatch for the whole loop."""
-        return self._power_k(self.geno, self.mean, self.inv_std, b0, n_iter)
+    def left_apply(self, w: np.ndarray) -> np.ndarray:
+        """A^T W: (n_samples, k) for row-space W (n_rows, k) in PcaSnpId
+        order.
 
-    def pca_core(self, b0: jax.Array, n_iter: int, k: int):
+        The device projection path (standardize + contraction over the
+        variant axis under shard_map, psum-merged): with A built from
+        NEW samples and the TRAINING moments, `left_apply(loadings)` is
+        `PCA::transform` (/root/reference/src/main.rs:659-660) on
+        device.  Padding rows are inert (inv_std = 0)."""
+        w = np.asarray(w, dtype=np.float32)
+        if w.ndim != 2 or w.shape[0] != self.n_rows:
+            raise ValueError(
+                f"left_apply expects ({self.n_rows}, k), got {w.shape}"
+            )
+        k = w.shape[1]
+        w_pad = np.zeros((self.d_pad, k), dtype=np.float32)
+        for mstart, pstart, cnt in self._segments_or_default:
+            w_pad[mstart : mstart + cnt] = w[pstart : pstart + cnt]
+        sh = NamedSharding(self.mesh, P(VARIANT_AXIS, None))
+        if jax.process_count() == 1:
+            w_dev = jax.device_put(w_pad, sh)
+        else:
+            flat = list(self.mesh.devices.flat)
+            rows_per_dev = self.d_pad // len(flat)
+            proc = jax.process_index()
+            idxs = [
+                i for i, d in enumerate(flat) if d.process_index == proc
+            ]
+            lo = min(idxs) * rows_per_dev
+            hi = (max(idxs) + 1) * rows_per_dev
+            w_dev = jax.make_array_from_process_local_data(
+                sh, w_pad[lo:hi], (self.d_pad, k)
+            )
+        return np.asarray(
+            self._left_k(self.geno, self.mean, self.inv_std, w_dev)
+        )
+
+    def power_iterate(
+        self, b0: jax.Array, n_iter: int, tolerance: Optional[float] = None
+    ) -> jax.Array:
+        """n_iter x (B <- qr(A^T A B)) entirely on device: (n_samples, l)
+        orthonormal basis.  One dispatch for the whole loop.  With
+        `tolerance` the loop early-exits on the subspace residual and
+        the return is (basis, n_iterations_done)."""
+        q, n_done = self._power_k(
+            self.geno, self.mean, self.inv_std, b0, n_iter, tolerance
+        )
+        if tolerance is None:
+            return q
+        return q, int(n_done)
+
+    def pca_core(
+        self,
+        b0: jax.Array,
+        n_iter: int,
+        k: int,
+        tolerance: Optional[float] = None,
+    ):
         """Full randomized PCA in ONE program/dispatch.
 
         Returns (v, sigma, evals, loadings): right singular vectors
         (n_samples, k), singular values (k,), their squares (k,), and
-        loadings (n_rows, k) on host.
+        loadings (n_rows, k) on host.  With `tolerance` the power loop
+        early-exits (rfit tolerance contract, main.rs:648-656) and a
+        fifth element — the iteration count actually run — is returned.
         """
-        v, sigma, evals, loadings = self._pca_core_k(
-            self.geno, self.mean, self.inv_std, b0, n_iter, k
+        v, sigma, evals, loadings, n_done = self._pca_core_k(
+            self.geno, self.mean, self.inv_std, b0, n_iter, k, tolerance
         )
-        return v, sigma, evals, self._trim_rows(self._rows_to_host(loadings))
+        out = (v, sigma, evals, self._trim_rows(self._rows_to_host(loadings)))
+        if tolerance is None:
+            return out
+        return out + (int(n_done),)

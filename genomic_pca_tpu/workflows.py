@@ -44,6 +44,7 @@ def run_vcf_workflow(
     k: int,
     maf: Optional[float] = None,
     rfit_seed: Optional[int] = None,
+    rfit_tolerance: Optional[float] = None,
     threads: int = 0,
     write_real_eigenvalues: bool = True,
 ) -> None:
@@ -176,6 +177,7 @@ def run_vcf_workflow(
             k=k,
             n_oversamples=10,
             seed=rfit_seed,
+            tolerance=rfit_tolerance,
         )
 
     with timer.stage("Output writing"):
@@ -197,6 +199,7 @@ def run_eigensnp_workflow(
     algo_config: EigenSnpConfig,
     output_prefix: str,
     checkpoint_dir: Optional[str] = None,
+    write_moments: bool = False,
 ) -> None:
     """BED/LD-block -> QC -> two-stage EigenSNP PCA -> TSVs.
 
@@ -234,6 +237,15 @@ def run_eigensnp_workflow(
                 [int(p) for p in positions],
                 result.loadings,
             )
+            if write_moments:
+                from genomic_pca_tpu.io.writers import write_moments as _wm
+
+                _wm(
+                    output_prefix,
+                    [str(s) for s in sids],
+                    prep.mean,
+                    prep.std,
+                )
             if result.diagnostics is not None:
                 path = f"{output_prefix}.eigensnp_diagnostics.json"
                 with open(path, "w") as fh:
@@ -241,3 +253,66 @@ def run_eigensnp_workflow(
                 log.info("Wrote diagnostics to %s", path)
 
     timer.log_summary("EigenSNP workflow stage timings")
+
+
+def run_projection_workflow(
+    bed_path: str,
+    loadings_path: str,
+    moments_path: str,
+    output_prefix: str,
+) -> None:
+    """Project NEW samples into a previously fitted PC space.
+
+    New capability over the reference (whose `PCA::transform`,
+    /root/reference/src/main.rs:659-660, is in-process only and has no
+    CLI): loads the fitted loadings + training moments TSVs, matches the
+    model's SNPs against the new PLINK fileset by VariantID, and runs
+    the device projection (`models/pca.transform_device`).  Missing
+    genotypes in the new data impute to the TRAINING mean.  Output:
+    `{prefix}.projected.pca.tsv` (same schema as the score writers).
+    """
+    from genomic_pca_tpu.errors import DataPrepError
+    from genomic_pca_tpu.io.bed import BedReader
+    from genomic_pca_tpu.io.writers import read_loadings, read_moments
+    from genomic_pca_tpu.models.pca import transform_device
+
+    timer = StageTimer()
+    enable_persistent_cache()
+    warm_backend_async()
+
+    with timer.stage("Model loading (loadings + moments)"):
+        l_ids, loadings = read_loadings(loadings_path)
+        m_ids, means, stds = read_moments(moments_path)
+        if l_ids != m_ids:
+            raise DataPrepError(
+                "Loadings and moments TSVs disagree on the SNP set "
+                f"({len(l_ids)} vs {len(m_ids)} variants or different "
+                "order); both must come from the same fit."
+            )
+
+    with timer.stage("New-sample genotype matching & read"):
+        bed = BedReader(bed_path)
+        pos_of = {sid: i for i, sid in enumerate(bed.bim.sid)}
+        missing = [vid for vid in l_ids if vid not in pos_of]
+        if missing:
+            raise DataPrepError(
+                f"{len(missing)} / {len(l_ids)} model SNPs absent from "
+                f"{bed_path} (first: {missing[:3]}); projection requires "
+                "every fitted SNP in the new fileset."
+            )
+        rows = np.asarray([pos_of[vid] for vid in l_ids], dtype=np.int64)
+        geno_new = bed.read(rows, np.arange(bed.n_samples, dtype=np.int64))
+
+    with timer.stage("Device projection"):
+        scores = transform_device(geno_new, loadings, means, stds)
+
+    with timer.stage("Output writing"):
+        if jax.process_index() == 0:
+            write_principal_components(
+                output_prefix,
+                list(bed.fam.iid),
+                scores,
+                suffix="projected.pca.tsv",
+            )
+
+    timer.log_summary("Projection workflow stage timings")

@@ -72,3 +72,51 @@ def test_rsvd_k_larger_than_rank(rng):
     # trailing components sit at the f32 noise floor
     assert (s[3:] < s[0] * 1e-2).all()
     assert s[2] > s[0] * 0.01 or s[2] > 10 * s[3]
+
+
+def test_rfit_tolerance_early_exit(rng):
+    """rfit API parity: a loose tolerance stops the power loop early
+    with per-PC concordance intact; None runs every iteration
+    (/root/reference/src/main.rs:648-656 tolerance contract)."""
+    from genomic_pca_tpu.models.pca import streamed_pca
+    from genomic_pca_tpu.parallel.mesh import make_mesh
+    from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+    from tests.conftest import make_genotypes
+
+    g = make_genotypes(rng, 1024, 128, n_pops=4, fst=0.25)
+    mesh = make_mesh()
+    k, n_iter = 4, 8
+    sm = ShardedMatrix.from_arrays(iter([g]), mesh=mesh, tile_d=128)
+    full = streamed_pca(sm, k=k, n_power_iter=n_iter, seed=1)
+    assert full.n_iter_done == n_iter
+    loose = streamed_pca(
+        sm, k=k, n_power_iter=n_iter, seed=1, tolerance=5e-2
+    )
+    assert loose.n_iter_done < n_iter, loose.n_iter_done
+    r = _concordance(full.scores[:, :k], loose.scores[:, :k])
+    assert (r > 0.999).all(), r
+
+    # Tight tolerance never exits early.
+    tight = streamed_pca(
+        sm, k=k, n_power_iter=n_iter, seed=1, tolerance=1e-12
+    )
+    assert tight.n_iter_done == n_iter
+
+
+def test_rfit_tolerance_q8_interpret(rng):
+    """Tolerance composes with the q8 steering + polish discipline."""
+    from genomic_pca_tpu.models.pca import streamed_pca
+    from genomic_pca_tpu.parallel.mesh import make_mesh
+    from genomic_pca_tpu.parallel.sharded import ShardedMatrix
+    from tests.conftest import make_genotypes
+
+    g = make_genotypes(rng, 512, 128, n_pops=4, fst=0.25)
+    sm = ShardedMatrix.from_arrays(
+        iter([g]), mesh=make_mesh(), mode="pallas_interpret",
+        kernel_precision="q8", tile_d=128,
+    )
+    res = streamed_pca(sm, k=4, n_power_iter=8, seed=1, tolerance=5e-2)
+    assert res.n_iter_done < 8
+    full = streamed_pca(sm, k=4, n_power_iter=8, seed=1)
+    r = _concordance(full.scores[:, :4], res.scores[:, :4])
+    assert (r > 0.999).all(), r
