@@ -629,13 +629,17 @@ def compute_eigensnp_pca(
     strip_size: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     mesh=None,
+    force_streaming: bool = False,
 ) -> EigenSnpResult:
     """Run the full two-stage pipeline on prepared data.
 
     `checkpoint_dir` enables stage checkpoint/resume for preemptible
     runs (utils/checkpoint.py — capability absent in the reference).
     `mesh` overrides the device mesh the matrix loads onto (default:
-    all devices).
+    all devices).  `force_streaming` takes the host-streamed container
+    regardless of the HBM budget (what load_matrix would do
+    automatically past it) — for validation and for pinning memory on
+    shared devices.
     """
     from genomic_pca_tpu.utils.checkpoint import StageCheckpointer, fingerprint
 
@@ -663,7 +667,11 @@ def compute_eigensnp_pca(
     # the whole algorithm, instead of two extra BED passes + standardized
     # f32 uploads through the host accessor.  Streaming containers and
     # non-contiguous block files keep the host accessor path.
-    a = prep.load_matrix(strip_size=strip_size, mesh=mesh)
+    if force_streaming:
+        prep.qc_capture = None  # streaming never consumes the capture
+        a = prep.load_streaming_matrix(strip_size=strip_size)
+    else:
+        a = prep.load_matrix(strip_size=strip_size, mesh=mesh)
     runs = _blocks_as_runs(prep.blocks)
     use_device = runs is not None and hasattr(a, "fetch_blocks_device")
     if use_device and getattr(a, "row_segments", None) is not None:
