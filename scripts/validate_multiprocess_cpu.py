@@ -108,6 +108,13 @@ def main() -> None:
         "counts + packed survivor upload; auto/device = device scan "
         "with LD-aligned capture fusion)",
     )
+    ap.add_argument(
+        "--degenerate-tail", action="store_true",
+        help="Make the last LD block's SNPs monomorphic so the last "
+        "process's scan range has ZERO post-QC survivors — the "
+        "zero-row-owner edge of the segmented assembly / per-process "
+        "loading.",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -120,6 +127,11 @@ def main() -> None:
     n_snps, n_samples = 600, 64
     geno = make_genotypes(rng, n_snps, n_samples, missing_rate=0.01,
                           n_pops=3, fst=0.2)
+    if args.degenerate_tail:
+        # Monomorphic tail: fails the variance/MAF gates, so every SNP
+        # in the last block (the last process's whole range under
+        # block-aligned partitioning) is dropped by QC.
+        geno[3 * n_snps // 4 :] = 0
     with tempfile.TemporaryDirectory(prefix="gptpu_mh_") as td:
         write_plink(f"{td}/mh", geno, bp=list(range(10, n_snps * 10 + 10, 10)))
         with open(f"{td}/blocks.tsv", "w") as fh:
