@@ -37,6 +37,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from genomic_pca_tpu.config import EigenSnpConfig
 from genomic_pca_tpu.errors import ComputeError
@@ -156,7 +157,11 @@ def _fused_stage12_device_prog(
             xs_sub = impl(geno, mean, inv, starts, lens, subset_idx, bucket)
 
         def one(x, key):
-            return rsvd(x, key, k=c_b, n_oversamples=n_os, n_power_iter=n_pi)
+            # cholqr2 stabilizer: Householder QR under vmap compiles to
+            # a large batched loop (seconds of XLA time per fused
+            # program on the cold path) and is latency-bound on TPU.
+            return rsvd(x, key, k=c_b, n_oversamples=n_os,
+                        n_power_iter=n_pi, orth="cholqr2")
 
         u, s, _ = jax.vmap(one)(xs_sub, keys)
         out = jax.lax.dot_general(
@@ -190,7 +195,11 @@ def _fused_stage12_host_packed_prog(
             xs_sub = _standardize_packed_stack_cols(pk8, mean, inv, subset_idx)
 
         def one(x, key):
-            return rsvd(x, key, k=c_b, n_oversamples=n_os, n_power_iter=n_pi)
+            # cholqr2 stabilizer: Householder QR under vmap compiles to
+            # a large batched loop (seconds of XLA time per fused
+            # program on the cold path) and is latency-bound on TPU.
+            return rsvd(x, key, k=c_b, n_oversamples=n_os,
+                        n_power_iter=n_pi, orth="cholqr2")
 
         u, s, _ = jax.vmap(one)(xs_sub, keys)
         out = _project_blocks_batched(u, xs_full)
@@ -214,7 +223,11 @@ def _fused_stage12_host_dense_prog(
         )
 
         def one(x, key):
-            return rsvd(x, key, k=c_b, n_oversamples=n_os, n_power_iter=n_pi)
+            # cholqr2 stabilizer: Householder QR under vmap compiles to
+            # a large batched loop (seconds of XLA time per fused
+            # program on the cold path) and is latency-bound on TPU.
+            return rsvd(x, key, k=c_b, n_oversamples=n_os,
+                        n_power_iter=n_pi, orth="cholqr2")
 
         u, s, _ = jax.vmap(one)(xs_sub, keys)
         out = _project_blocks_batched(u, xs_full)
@@ -713,34 +726,71 @@ def compute_eigensnp_pca(
         else max(k, min(cfg.refine_width, n, d))
     )
 
-    # Cold-start overlap: compile the refinement program (the largest
-    # XLA program of the run) in the background while stages 1-2
-    # execute.  Only for small problems — the dummy execution it
-    # triggers is negligible there (one extra pass over a tiny matrix)
-    # but would waste real device time at genome scale, where compiles
-    # amortize anyway.
+    # Cold-start overlap: AOT-compile the LATER programs of the run in
+    # the background while stages 1-2 execute.  `.lower().compile()`
+    # populates the (persistent + in-process) compilation caches without
+    # executing anything, so this is safe at any scale — and relay
+    # backends compile concurrently (measured ~3x for 4 parallel
+    # compiles), so the compile wall-clock of the whole run collapses
+    # toward its largest single program.
     use_pca_core = (
         hasattr(a, "pca_core")
         and not ckpt.enabled
         and diag is None
         and cfg.refine_passes >= 1
     )
-    if use_pca_core and a.d_pad * a.n_pad <= (1 << 28):
-        import threading
+    import threading
 
-        def _prewarm():
+    def _spawn(name, fn):
+        def _run():
             try:
-                a._pca_core_k(
-                    a.geno, a.mean, a.inv_std,
-                    jnp.zeros((n, ell_ref), jnp.float32),
-                    cfg.refine_passes, k,
-                )  # device-only; results discarded, cache populated
+                fn()
             except Exception:  # pragma: no cover - best-effort
-                log.debug("pca_core pre-warm failed", exc_info=True)
+                log.debug("%s precompile failed", name, exc_info=True)
 
-        threading.Thread(
-            target=_prewarm, daemon=True, name="pca-core-prewarm"
-        ).start()
+        threading.Thread(target=_run, daemon=True, name=name).start()
+
+    # Abstract args must carry the SAME shardings the real calls will
+    # see — the lowered module embeds sharding annotations, and a
+    # mismatch makes the precompile a cache MISS (verified: replicated
+    # NamedSharding on the container mesh reproduces the real modules
+    # text-identically).
+    rep_sh = (
+        NamedSharding(a.mesh, P(None, None))
+        if hasattr(a, "mesh") else None
+    )
+    if use_pca_core and rep_sh is not None:
+        _spawn(
+            "precompile-pca-core",
+            lambda: a._pca_core_k.lower(
+                a.geno, a.mean, a.inv_std,
+                jax.ShapeDtypeStruct(
+                    (n, ell_ref), jnp.float32, sharding=rep_sh
+                ),
+                cfg.refine_passes, k, None,
+            ).compile(),
+        )
+    if not ckpt.enabled and rep_sh is not None:
+        # Stage-2 global program: its condensed input shape (C, N) is
+        # known before stage 1 runs (sum of per-block component counts).
+        subset_n = len(_choose_sample_subset(cfg, n))
+        c_total_pre = sum(
+            min(cfg.components_per_block, len(b.pca_snp_ids), subset_n)
+            for b in prep.blocks
+        )
+        k_pre = min(k, c_total_pre)
+        _spawn(
+            "precompile-global-basis",
+            lambda: _global_basis_prog.lower(
+                jax.ShapeDtypeStruct(
+                    (c_total_pre, n), jnp.float32, sharding=rep_sh
+                ),
+                key_for_stage(cfg.seed, "eigensnp_global_sketch"),
+                key_for_stage(cfg.seed, "eigensnp_refine_fill"),
+                k=k_pre, n_os=cfg.global_oversampling,
+                n_pi=cfg.global_power_iter, ell_ref=ell_ref,
+            ).compile(),
+        )
 
     # ---- Stages 1+2: local bases -> condensed projection --------------
     # Blocks are grouped by (padded-bucket, c_b) and each group runs

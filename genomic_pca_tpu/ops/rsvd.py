@@ -26,30 +26,62 @@ def _qr_q(a: jax.Array) -> jax.Array:
     return q
 
 
-@partial(jax.jit, static_argnames=("k", "n_oversamples", "n_power_iter"))
+def cholqr2_q(t: jax.Array) -> jax.Array:
+    """Two-pass Cholesky-QR orthonormal factor: MXU-only.
+
+    Householder QR of a tall-skinny block is latency-bound on TPU and
+    compiles to a large batched loop under vmap (seconds of XLA compile
+    per fused stage-1 program); CholQR2 is two small HIGHEST-precision
+    matmuls + an (l, l) Cholesky per pass — compile-light, MXU-dense,
+    and stable to cond(T) ~ 1e4 with the column pre-normalization +
+    second pass (same discipline as the sharded power loop,
+    parallel/sharded.py cholqr2)."""
+    eps = jnp.asarray(1e-12, t.dtype)
+    for _ in range(2):
+        t = t / (jnp.linalg.norm(t, axis=0, keepdims=True) + eps)
+        gram = jnp.dot(
+            t.T, t, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ell = gram.shape[0]
+        r = jnp.linalg.cholesky(gram + 1e-6 * jnp.eye(ell, dtype=t.dtype))
+        t = jax.lax.linalg.triangular_solve(
+            r, t, left_side=False, lower=True, transpose_a=True
+        )
+    return t
+
+
+@partial(
+    jax.jit, static_argnames=("k", "n_oversamples", "n_power_iter", "orth")
+)
 def rsvd(
     x: jax.Array,
     key: jax.Array,
     k: int,
     n_oversamples: int = 10,
     n_power_iter: int = 2,
+    orth: str = "qr",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Randomized truncated SVD of a dense device matrix.
 
-    Halko-Martinsson-Tropp with per-iteration QR stabilization; the sketch
-    width is k + n_oversamples (reference uses n_oversamples=10,
-    main.rs:651).
+    Halko-Martinsson-Tropp with per-iteration re-orthonormalization; the
+    sketch width is k + n_oversamples (reference uses n_oversamples=10,
+    main.rs:651).  `orth` picks the stabilizer: "qr" (Householder,
+    exact) or "cholqr2" (MXU-only, compile-light — what the vmapped
+    fused stage-1 programs use; see `cholqr2_q`).  The small exact SVD
+    of the projected matrix is unchanged either way.
     """
     m, n = x.shape
     ell = min(k + n_oversamples, min(m, n))
+    orth_q = _qr_q if orth == "qr" else cholqr2_q
     omega = jax.random.normal(key, (n, ell), dtype=x.dtype)
     y = x @ omega  # (m, ell)
-    q = _qr_q(y)
+    q = orth_q(y)
     for _ in range(n_power_iter):
         z = x.T @ q  # (n, ell)
-        z = _qr_q(z)
+        z = orth_q(z)
         y = x @ z
-        q = _qr_q(y)
+        q = orth_q(y)
     b = q.T @ x  # (ell, n)
     ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
     u = q @ ub
