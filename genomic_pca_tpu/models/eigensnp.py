@@ -330,6 +330,27 @@ def _assemble_condensed(parts, n: int, n_blocks: int):
     return bases, svals, y
 
 
+_STAGE12_BUDGET_ELEMS = 256 * 1024 * 1024
+
+
+def _device_group_plan(a, prep, cfg: EigenSnpConfig, subset: np.ndarray):
+    """Ordered [(bucket, c_b, n_blocks, chunk_b)] — exactly the grouping
+    and batch size `_stages12_device` will execute, shared with the
+    background precompiler so lowered signatures match the real calls."""
+    groups: Dict[tuple, List[int]] = {}
+    for b_idx, block in enumerate(prep.blocks):
+        d_b = len(block.pca_snp_ids)
+        c_b = min(cfg.components_per_block, d_b, len(subset))
+        bucket = min(_bucket_rows(d_b), a.d_pad)
+        groups.setdefault((bucket, c_b), []).append(b_idx)
+    plan = []
+    for (bucket, c_b), idxs in sorted(groups.items()):
+        b_cap = max(1, _STAGE12_BUDGET_ELEMS // (bucket * a.n_pad))
+        chunk_b = _pow2_at_most(min(b_cap, max(len(idxs), 1)))
+        plan.append((bucket, c_b, len(idxs), chunk_b))
+    return plan
+
+
 def _pow2_at_most(x: int) -> int:
     p = 1
     while p * 2 <= x:
@@ -419,7 +440,7 @@ def _stages12_device(
 
     subset_dev = jnp.asarray(subset, dtype=jnp.int32)
     full_cols = len(subset) >= n  # subset == all samples: reuse the full fetch
-    budget_elems = 256 * 1024 * 1024
+    budget_elems = _STAGE12_BUDGET_ELEMS
     saved: Dict[int, np.ndarray] = {}
     # All device work enqueues asynchronously; NOTHING is fetched inside
     # the loop (a mid-loop np.asarray is a ~1 s round trip on relayed
@@ -759,6 +780,9 @@ def compute_eigensnp_pca(
         NamedSharding(a.mesh, P(None, None))
         if hasattr(a, "mesh") else None
     )
+
+    def rep_sh3(a_):
+        return NamedSharding(a_.mesh, P(None, None, None))
     if use_pca_core and rep_sh is not None:
         _spawn(
             "precompile-pca-core",
@@ -789,6 +813,38 @@ def compute_eigensnp_pca(
                 key_for_stage(cfg.seed, "eigensnp_refine_fill"),
                 k=k_pre, n_os=cfg.global_oversampling,
                 n_pi=cfg.global_power_iter, ell_ref=ell_ref,
+            ).compile(),
+        )
+    if not ckpt.enabled and rep_sh is not None and use_device:
+        # The stage-1 fetch-side assembly program (_finish_parts_jit):
+        # its whole signature follows from the group plan, and on the
+        # relay it is one of the two largest compiles of the cold path —
+        # compile it concurrently with the fused group programs (whose
+        # own first-use compiles already overlap via the group thread
+        # pool) instead of serially after them.
+        subset_pre = _choose_sample_subset(cfg, n)
+        plan = _device_group_plan(a, prep, cfg, subset_pre)
+        u_sds, s_sds, o_sds = [], [], []
+        perm_len = 0
+        for bucket, c_b, n_blocks, chunk_b in plan:
+            n_chunks = -(-n_blocks // chunk_b)
+            perm_len += n_blocks * c_b
+            for _ in range(n_chunks):
+                u_sds.append(jax.ShapeDtypeStruct(
+                    (chunk_b, bucket, c_b), jnp.float32, sharding=rep_sh3(a)
+                ))
+                s_sds.append(jax.ShapeDtypeStruct(
+                    (chunk_b, c_b), jnp.float32,
+                    sharding=NamedSharding(a.mesh, P(None, None)),
+                ))
+                o_sds.append(jax.ShapeDtypeStruct(
+                    (chunk_b, c_b, a.n_pad), jnp.float32, sharding=rep_sh3(a)
+                ))
+        _spawn(
+            "precompile-finish-parts",
+            lambda: _finish_parts_jit(n).lower(
+                u_sds, s_sds, o_sds,
+                jnp.zeros(perm_len, jnp.int32),
             ).compile(),
         )
 
