@@ -95,6 +95,11 @@ def main() -> int:
     ap.add_argument("--snps", type=int, default=262_144)
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--layout", default="dense", choices=("dense", "packed"),
+                    help="dense int8 residency or the production PLINK "
+                    "2-bit packed layout (traces fused_gram_q8_packed)")
+    ap.add_argument("--precision", default="q8", choices=("q8", "bf16"),
+                    help="power-loop kernel precision for the container")
     args = ap.parse_args()
 
     import jax
@@ -125,13 +130,27 @@ def main() -> int:
         inv = jnp.where(std > 0, 1.0 / jnp.where(std > 0, std, 1.0), 0.0)
         return g, mean[:, None], inv[:, None]
 
+    @jax.jit
+    def pack_codes(g):
+        # PLINK count_A1 codes: dosage 2 -> 00, 1 -> 10, 0 -> 11.
+        c = jnp.where(g == 2, 0, 3 - g.astype(jnp.int32)).astype(jnp.uint8)
+        c4 = c.reshape(d, n // 4, 4)
+        return (
+            c4[..., 0] | (c4[..., 1] << 2)
+            | (c4[..., 2] << 4) | (c4[..., 3] << 6)
+        )
+
     mesh = make_mesh(jax.devices()[:1])
     sh = NamedSharding(mesh, P(VARIANT_AXIS, None))
     g_dev, m_dev, iv_dev = make_data(jax.random.key(0))
+    if args.layout == "packed":
+        g_dev = pack_codes(g_dev)
     sm = ShardedMatrix(
         geno=jax.device_put(g_dev, sh), mean=jax.device_put(m_dev, sh),
         inv_std=jax.device_put(iv_dev, sh), n_rows=d, n_samples=n, mesh=mesh,
+        kernel_precision=args.precision,
     )
+    print(f"layout={args.layout} precision={args.precision} mode={sm.mode}")
     rng = np.random.default_rng(0)
 
     # --- rhs-width sweep -------------------------------------------------
