@@ -76,17 +76,7 @@ def main() -> None:
         inv = jnp.where(std > 0, 1.0 / jnp.where(std > 0, std, 1.0), 0.0)
         return g, mean[:, None], inv[:, None]
 
-    @jax.jit
-    def pack_codes(g):
-        # PLINK count_A1 codes: dosage 2 -> 00, 1 -> 10, 0 -> 11.
-        c = jnp.where(g == 2, 0, 3 - g.astype(jnp.int32)).astype(jnp.uint8)
-        c4 = c.reshape(n_snps, n_samples // 4, 4)
-        return (
-            c4[..., 0]
-            | (c4[..., 1] << 2)
-            | (c4[..., 2] << 4)
-            | (c4[..., 3] << 6)
-        )
+    from genomic_pca_tpu.parallel.sharded import pack_codes_device as pack_codes
 
     mesh = make_mesh(jax.devices()[:1])
     sh = NamedSharding(mesh, P(VARIANT_AXIS, None))

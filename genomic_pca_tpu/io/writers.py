@@ -110,42 +110,54 @@ def write_moments(
     variant_ids: Sequence[str],
     means: np.ndarray,
     stds: np.ndarray,
+    a1: Sequence[str],
+    a2: Sequence[str],
 ) -> None:
-    """Write per-SNP training standardization moments
-    (`{prefix}.eigensnp.moments.tsv`).
+    """Write per-SNP training standardization moments + allele
+    orientation (`{prefix}.eigensnp.moments.tsv`).
 
     Extension over the reference (its PCA model holds the moments
     in-memory only, so `transform` cannot outlive the process —
     DEVIATIONS.md §8): this artifact plus the loadings TSV make the
-    fitted model re-loadable for `--project`.  Full precision (%.9g) —
+    fitted model re-loadable for `--project`.  A1/A2 pin the dosage
+    orientation: a new fileset with swapped alleles encodes
+    dosage' = 2 - dosage, and projecting through it unchecked would
+    silently flip that SNP's contribution.  Full precision (%.9g) —
     these feed new-sample standardization, not human eyes.
     """
     means = np.asarray(means, dtype=np.float64)
     stds = np.asarray(stds, dtype=np.float64)
-    if not (len(variant_ids) == len(means) == len(stds)):
+    if not (
+        len(variant_ids) == len(means) == len(stds) == len(a1) == len(a2)
+    ):
         raise ValueError(
             f"Mismatch: ids={len(variant_ids)} means={len(means)} "
-            f"stds={len(stds)}"
+            f"stds={len(stds)} a1={len(a1)} a2={len(a2)}"
         )
     with _open_out(prefix, "eigensnp.moments.tsv") as fh:
-        fh.write("VariantID\tMean\tStd\n")
+        fh.write("VariantID\tA1\tA2\tMean\tStd\n")
         for i, vid in enumerate(variant_ids):
-            fh.write(f"{vid}\t{means[i]:.9g}\t{stds[i]:.9g}\n")
+            fh.write(
+                f"{vid}\t{a1[i]}\t{a2[i]}\t{means[i]:.9g}\t{stds[i]:.9g}\n"
+            )
 
 
 def read_moments(path: str):
-    """Read a moments TSV -> (variant_ids list, means f64, stds f64)."""
-    ids, means, stds = [], [], []
+    """Read a moments TSV ->
+    (variant_ids, a1, a2, means f64, stds f64)."""
+    ids, a1s, a2s, means, stds = [], [], [], [], []
     with open(path) as fh:
         header = fh.readline().rstrip("\n").split("\t")
-        if header[:3] != ["VariantID", "Mean", "Std"]:
+        if header != ["VariantID", "A1", "A2", "Mean", "Std"]:
             raise ValueError(f"Not a moments TSV: {path} (header {header})")
         for line in fh:
-            vid, m, s = line.rstrip("\n").split("\t")
+            vid, a1, a2, m, s = line.rstrip("\n").split("\t")
             ids.append(vid)
+            a1s.append(a1)
+            a2s.append(a2)
             means.append(float(m))
             stds.append(float(s))
-    return ids, np.asarray(means), np.asarray(stds)
+    return ids, a1s, a2s, np.asarray(means), np.asarray(stds)
 
 
 def read_loadings(path: str):

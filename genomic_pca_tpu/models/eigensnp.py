@@ -703,7 +703,12 @@ def compute_eigensnp_pca(
     # non-contiguous block files keep the host accessor path.
     if force_streaming:
         prep.qc_capture = None  # streaming never consumes the capture
-        a = prep.load_streaming_matrix(strip_size=strip_size)
+        a = prep.load_streaming_matrix(
+            strip_size=strip_size,
+            # Honor an explicit mesh: stream only over ITS devices
+            # (otherwise StreamingMatrix round-robins all local ones).
+            devices=(list(mesh.devices.flat) if mesh is not None else None),
+        )
     else:
         a = prep.load_matrix(strip_size=strip_size, mesh=mesh)
     runs = _blocks_as_runs(prep.blocks)

@@ -143,7 +143,7 @@ def streamed_pca(
             k=k,
             n_iter_done=n_done,
         )
-    if hasattr(matrix, "power_iterate"):
+    elif hasattr(matrix, "power_iterate"):
         # Whole loop on device in one dispatch.
         out = matrix.power_iterate(b, n_iter, tolerance=tolerance)
         if tolerance is None:
@@ -155,11 +155,9 @@ def streamed_pca(
             t = matrix.gram_apply(b)  # A^T A B, one streamed pass
             res = None
             if tolerance is not None and it > 0:
-                proj = b.T @ t
-                res = float(
-                    jnp.linalg.norm(t - b @ proj)
-                    / (jnp.linalg.norm(t) + 1e-30)
-                )
+                from genomic_pca_tpu.ops.rsvd import subspace_residual
+
+                res = float(subspace_residual(b, t))
             b, _ = jnp.linalg.qr(t)
             if res is not None and res < tolerance:
                 n_done = it + 1
@@ -195,12 +193,18 @@ def streamed_pca(
         else:
             loadings = matrix.right_apply(v_k) * inv_sigma[None, :]
 
+    if tolerance is not None and n_done < n_iter:
+        log.info(
+            "rfit tolerance %.3g reached after %d / %d power iterations.",
+            tolerance, n_done, n_iter,
+        )
     return PcaResult(
         scores=scores,
         eigenvalues=eigenvalues,
         singular_values=np.asarray(sigma_k),
         loadings=loadings,
         k=k,
+        n_iter_done=n_done,
     )
 
 

@@ -95,6 +95,31 @@ def exact_svd(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return u[:, :k], s[:k], vt[:k, :]
 
 
+@jax.jit
+def quantize_basis(bp: jax.Array):
+    """Padded f32 basis -> (int8 basis, (1,1) scale, (1,L) scaled column
+    sums) with ONE global scale (orthonormal columns share magnitude).
+    THE canonical basis quantization of the q8 power path — every
+    container's steering pass must use it so the quantization model
+    stays identical across resident/streaming/2-D regimes."""
+    sb = jnp.maximum(jnp.max(jnp.abs(bp)), 1e-30) / 127.0
+    bq = jnp.clip(jnp.round(bp / sb), -127.0, 127.0).astype(jnp.int8)
+    csum = (jnp.sum(bq, axis=0, dtype=jnp.float32) * sb)[None, :]
+    return bq, sb.reshape(1, 1), csum
+
+
+def subspace_residual(b: jax.Array, t: jax.Array) -> jax.Array:
+    """||T - B(B^T T)||_F / ||T||_F — the rfit tolerance metric
+    (DEVIATIONS.md §10).  `b` is the pre-update (orthonormal after the
+    first pass) basis, `t` the new power-pass output; ONE definition
+    shared by every container's early-exit check."""
+    proj = jnp.dot(
+        b.T, t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.linalg.norm(t - b @ proj) / (jnp.linalg.norm(t) + 1e-30)
+
+
 def sign_canonicalize(u: jax.Array, vt: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Fix the sign ambiguity of singular pairs for comparisons.
 

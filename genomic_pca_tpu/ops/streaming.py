@@ -342,15 +342,12 @@ class StreamingMatrix:
         return self._unperm(acc)[: self.n_samples, :ell]
 
     @staticmethod
-    @jax.jit
     def _quantize_basis(bp: jax.Array):
-        """Padded basis -> (int8 basis, (1,1) scale, (1,L) scaled
-        column sums) — one global scale (orthonormal columns share
-        magnitude; per-tile re-quantization of z happens in-kernel)."""
-        sb = jnp.maximum(jnp.max(jnp.abs(bp)), 1e-30) / 127.0
-        bq = jnp.clip(jnp.round(bp / sb), -127.0, 127.0).astype(jnp.int8)
-        csum = (jnp.sum(bq, axis=0, dtype=jnp.float32) * sb)[None, :]
-        return bq, sb.reshape(1, 1), csum
+        """Canonical basis quantization (ops/rsvd.quantize_basis —
+        shared with the resident container's steering pass)."""
+        from genomic_pca_tpu.ops.rsvd import quantize_basis
+
+        return quantize_basis(bp)
 
     def _gram_apply_q8(self, b: jax.Array) -> jax.Array:
         """Quantized steering pass: A^T A b with int8-MXU matmuls per
@@ -401,11 +398,9 @@ class StreamingMatrix:
             tmat = self._gram_apply_q8(b) if t < n_q8 else self.gram_apply(b)
             res = None
             if tolerance is not None and t > 0 and not converged:
-                proj = b.T @ tmat
-                res = float(
-                    jnp.linalg.norm(tmat - b @ proj)
-                    / (jnp.linalg.norm(tmat) + 1e-30)
-                )
+                from genomic_pca_tpu.ops.rsvd import subspace_residual
+
+                res = float(subspace_residual(b, tmat))
             b, _ = jnp.linalg.qr(tmat)
             n_done += 1
             if res is not None and res < tolerance:

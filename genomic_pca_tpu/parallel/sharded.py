@@ -32,6 +32,9 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genomic_pca_tpu.ops import pallas_kernels as pk
+from genomic_pca_tpu.ops.rsvd import (
+    cholqr2_q, quantize_basis, subspace_residual,
+)
 from genomic_pca_tpu.ops.standardize import standardize_rows as _standardize
 from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
 
@@ -95,6 +98,23 @@ def packed_cols(n_samples: int) -> int:
     capture budget gates, batch padding, and resident-size estimate must
     all agree with the actual device layout."""
     return _round_up(max(-(-n_samples // 4), 1), 128)
+
+
+@jax.jit
+def pack_codes_device(g: jax.Array) -> jax.Array:
+    """(D, N) int8 dosages WITHOUT missing values -> (D, N/4) PLINK
+    uint8 ON DEVICE (count_A1 codes: 2 -> 00, 1 -> 10, 0 -> 11).
+
+    Device-side re-encode for benchmarks/traces that synthesize data in
+    HBM; production ingestion packs on the host (`pack_int8_rows`,
+    which also handles the missing sentinel).  N must be a multiple
+    of 4."""
+    d, n = g.shape
+    c = jnp.where(g == 2, 0, 3 - g.astype(jnp.int32)).astype(jnp.uint8)
+    c4 = c.reshape(d, n // 4, 4)
+    return (
+        c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4) | (c4[..., 3] << 6)
+    )
 
 
 def pack_int8_rows(geno: np.ndarray) -> np.ndarray:
@@ -1129,31 +1149,12 @@ class ShardedMatrix:
                 out = jnp.take(out, jnp.asarray(invp_full), axis=0)
             return out[:n_samples]
 
-        def cholqr2(t):
-            """Two-pass Cholesky-QR: MXU-only orthonormalization.
-
-            Householder QR of a tall-skinny (N, l) block is latency-bound
-            on TPU; CholQR runs as two small HIGHEST-precision matmuls +
-            an (l, l) Cholesky.  Column pre-normalization plus the second
-            pass keeps it stable up to cond(T) ~ 1e4, ample between
-            power-iteration steps; callers needing exact orthonormality
-            run one final Householder QR outside the loop.
-            """
-            eps = jnp.asarray(1e-12, jnp.float32)
-            for _ in range(2):
-                t = t / (jnp.linalg.norm(t, axis=0, keepdims=True) + eps)
-                gram = jnp.dot(
-                    t.T, t, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                ell = gram.shape[0]
-                r = jnp.linalg.cholesky(
-                    gram + 1e-6 * jnp.eye(ell, dtype=jnp.float32)
-                )
-                t = jax.lax.linalg.triangular_solve(
-                    r, t, left_side=False, lower=True, transpose_a=True
-                )
-            return t
+        # Two-pass Cholesky-QR: MXU-only orthonormalization between
+        # power-iteration steps (ops/rsvd.cholqr2_q — one shared
+        # implementation with the fused stage-1 rSVD stabilizer).
+        # Callers needing exact orthonormality run one final Householder
+        # QR outside the loop.
+        cholqr2 = cholqr2_q
 
         def zero_pad_rows(t):
             if packed:
@@ -1184,14 +1185,8 @@ class ShardedMatrix:
                 return zero_pad_rows(gram_sm(g, m, iv, cur))
 
             def t_q8(cur):
-                sb = jnp.maximum(jnp.max(jnp.abs(cur)), 1e-30) / 127.0
-                bq = jnp.clip(
-                    jnp.round(cur / sb), -127.0, 127.0
-                ).astype(jnp.int8)
-                csum = (jnp.sum(bq, axis=0, dtype=jnp.float32) * sb)[None, :]
-                return zero_pad_rows(
-                    gram_q8_sm(g, m, iv, bq, sb.reshape(1, 1), csum)
-                )
+                bq, sb, csum = quantize_basis(cur)
+                return zero_pad_rows(gram_q8_sm(g, m, iv, bq, sb, csum))
 
             def run(tfn, max_n, b0):
                 if tol is None:
@@ -1210,10 +1205,7 @@ class ShardedMatrix:
                     # Residual of t against the incoming (orthonormal
                     # after the first pass) basis; the first pass sees a
                     # random sketch, whose large residual never exits.
-                    proj = _dot(cur.T, t)
-                    res = jnp.linalg.norm(t - cur @ proj) / (
-                        jnp.linalg.norm(t) + 1e-30
-                    )
+                    res = subspace_residual(cur, t)
                     return i + 1, cholqr2(t), res
 
                 i, out, _ = jax.lax.while_loop(
@@ -1225,8 +1217,16 @@ class ShardedMatrix:
                 return run(t_exact, n_iter, bp)
             n_q8 = max(n_iter - q8_polish, 0)
             out, i1 = run(t_q8, n_q8, bp)
-            out, i2 = run(t_exact, n_iter - n_q8, out)
-            return out, i1 + i2
+            # The mandated exact polish passes ALWAYS run in full — the
+            # adaptive polish count is the accuracy guarantee of the q8
+            # approximation (resolve_q8_polish), not a convergence
+            # heuristic a loose tolerance may skip.  Same semantics as
+            # StreamingMatrix.power_iterate.
+            n_polish = n_iter - n_q8
+            out = jax.lax.fori_loop(
+                0, n_polish, lambda _, cur: cholqr2(t_exact(cur)), out
+            )
+            return out, i1 + n_polish
 
         # Whole power-iteration loop on device: n_iter x (gram -> CholQR).
         @functools.partial(jax.jit, static_argnames=("n_iter", "tol"))

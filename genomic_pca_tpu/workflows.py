@@ -16,7 +16,9 @@ import jax
 import numpy as np
 
 
-from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+from genomic_pca_tpu.config import (
+    DataPrepConfig, EigenSnpConfig, RsvdConfig,
+)
 from genomic_pca_tpu.io.vcf import load_vcf_directory
 from genomic_pca_tpu.io.writers import (
     write_eigenvalues,
@@ -172,12 +174,16 @@ def run_vcf_workflow(
     )
 
     with timer.stage("Randomized PCA (rfit)"):
+        # RsvdConfig is the single authority for the rfit contract
+        # (k, n_oversamples=10 per main.rs:651, seed, tolerance).
+        rs = RsvdConfig(k=k, seed=rfit_seed, tolerance=rfit_tolerance)
         result = streamed_pca(
             matrix,
-            k=k,
-            n_oversamples=10,
-            seed=rfit_seed,
-            tolerance=rfit_tolerance,
+            k=rs.k,
+            n_oversamples=rs.n_oversamples,
+            n_power_iter=rs.n_power_iter,
+            seed=rs.seed,
+            tolerance=rs.tolerance,
         )
 
     with timer.stage("Output writing"):
@@ -240,11 +246,14 @@ def run_eigensnp_workflow(
             if write_moments:
                 from genomic_pca_tpu.io.writers import write_moments as _wm
 
+                idx = prep.pca_snp_orig_indices
                 _wm(
                     output_prefix,
                     [str(s) for s in sids],
                     prep.mean,
                     prep.std,
+                    [str(x) for x in prep.bed.bim.a1[idx]],
+                    [str(x) for x in prep.bed.bim.a2[idx]],
                 )
             if result.diagnostics is not None:
                 path = f"{output_prefix}.eigensnp_diagnostics.json"
@@ -282,7 +291,7 @@ def run_projection_workflow(
 
     with timer.stage("Model loading (loadings + moments)"):
         l_ids, loadings = read_loadings(loadings_path)
-        m_ids, means, stds = read_moments(moments_path)
+        m_ids, m_a1, m_a2, means, stds = read_moments(moments_path)
         if l_ids != m_ids:
             raise DataPrepError(
                 "Loadings and moments TSVs disagree on the SNP set "
@@ -292,6 +301,16 @@ def run_projection_workflow(
 
     with timer.stage("New-sample genotype matching & read"):
         bed = BedReader(bed_path)
+        from collections import Counter
+
+        counts = Counter(bed.bim.sid)
+        dups = [vid for vid in l_ids if counts.get(vid, 0) > 1]
+        if dups:
+            raise DataPrepError(
+                f"{len(dups)} model SNPs appear more than once in "
+                f"{bed_path}'s BIM (first: {dups[:3]}); VariantID matching "
+                "is ambiguous — deduplicate the new fileset first."
+            )
         pos_of = {sid: i for i, sid in enumerate(bed.bim.sid)}
         missing = [vid for vid in l_ids if vid not in pos_of]
         if missing:
@@ -301,6 +320,24 @@ def run_projection_workflow(
                 "every fitted SNP in the new fileset."
             )
         rows = np.asarray([pos_of[vid] for vid in l_ids], dtype=np.int64)
+        # Allele-orientation check: a swapped A1/A2 encodes
+        # dosage' = 2 - dosage; projecting through it would silently
+        # flip the SNP's contribution.
+        new_a1 = bed.bim.a1[rows]
+        new_a2 = bed.bim.a2[rows]
+        bad = [
+            l_ids[j]
+            for j in range(len(l_ids))
+            if str(new_a1[j]) != m_a1[j] or str(new_a2[j]) != m_a2[j]
+        ]
+        if bad:
+            raise DataPrepError(
+                f"{len(bad)} model SNPs have a different A1/A2 "
+                f"orientation in {bed_path} (first: {bad[:3]}); harmonize "
+                "alleles (swap/flip) before projecting — a swapped "
+                "orientation encodes dosage' = 2 - dosage and would "
+                "corrupt the scores silently."
+            )
         geno_new = bed.read(rows, np.arange(bed.n_samples, dtype=np.int64))
 
     with timer.stage("Device projection"):
