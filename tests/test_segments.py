@@ -284,3 +284,14 @@ def test_from_owned_units_rejects_foreign_unit(rng):
             np.asarray([8]), np.asarray([3]), {0: (g, np.zeros(8), None)},
             n_samples=16, mesh=mesh, tile_d=8, center_only=True,
         )
+
+
+def test_segmented_left_apply_matches_prefix(rng, seg_pair):
+    """left_apply (the device projection path) places row-space inputs
+    through the segment map — w rows must land beside their genotype
+    rows despite the inter-segment padding gap."""
+    _geno, prefix, seg = seg_pair
+    w = rng.standard_normal((prefix.n_rows, 5)).astype(np.float32)
+    np.testing.assert_allclose(
+        seg.left_apply(w), prefix.left_apply(w), rtol=1e-4, atol=1e-2
+    )
