@@ -829,6 +829,29 @@ def compute_eigensnp_pca(
         # pool) instead of serially after them.
         subset_pre = _choose_sample_subset(cfg, n)
         plan = _device_group_plan(a, prep, cfg, subset_pre)
+        # The fused group programs themselves: the main thread reaches
+        # the first one within a second or two, but a head-started
+        # background lower().compile() of the SAME lru-cached jit
+        # function turns that first use into (at worst) a concurrent
+        # duplicate compile and (at best) a cache hit — and for runs
+        # with several groups it is pure overlap.
+        full_cols_pre = len(subset_pre) >= n
+        subset_pre_dev = jnp.asarray(subset_pre, dtype=jnp.int32)
+        for bucket, c_b, _n_blocks, chunk_b in plan:
+            runp = _fused_stage12_device_prog(
+                a.packed, bucket, c_b, cfg.local_oversampling,
+                cfg.local_power_iter, full_cols_pre,
+            )
+            _spawn(
+                f"precompile-stage12-{bucket}-{c_b}",
+                lambda runp=runp, chunk_b=chunk_b: runp.lower(
+                    a.geno, a.mean, a.inv_std,
+                    jnp.zeros(chunk_b, jnp.int32),
+                    jnp.zeros(chunk_b, jnp.int32),
+                    subset_pre_dev,
+                    _stage_keys(cfg, [], chunk_b),
+                ).compile(),
+            )
         u_sds, s_sds, o_sds = [], [], []
         perm_len = 0
         for bucket, c_b, n_blocks, chunk_b in plan:
