@@ -334,3 +334,62 @@ def test_swar_sentinel_clean_all_bytes():
         )
         # Other lanes stay zero (no carry bleed between bytes).
         assert (cleaned & ~(np.uint32(0xFF) << (8 * lane))).max() == 0
+
+
+def test_swar_unpack_formula_all_bytes():
+    """Pin the SWAR byte-parallel packed unpack (u32 path, TPU-only)
+    against the scalar semantics for EVERY byte value: per 2-bit code,
+    dosage = (4-c)>>1 with missing (c==1) -> 0, four codes per byte,
+    four bytes per u32 lane."""
+    vals = np.arange(256, dtype=np.uint32)
+    for lane in range(4):  # byte position inside the u32
+        x32 = vals << np.uint32(8 * lane)
+        for p in range(4):  # plane = 2-bit field inside each byte
+            c = (x32 >> np.uint32(2 * p)) & np.uint32(0x03030303)
+            d = ((np.uint32(0x04040404) - c) >> np.uint32(1)) & np.uint32(
+                0x7F7F7F7F
+            )
+            t = c ^ np.uint32(0x01010101)
+            nz_high = (t + np.uint32(0x7F7F7F7F)) | t
+            zmask = (~nz_high & np.uint32(0x80808080)) >> np.uint32(7)
+            d = d & ~(zmask * np.uint32(0xFF))
+            got = ((d >> np.uint32(8 * lane)) & 0xFF).astype(np.uint8)
+            # scalar reference for the byte in this lane
+            code = (vals.astype(np.uint8) >> (2 * p)) & 3
+            ref = np.where(code == 1, 0, (4 - code.astype(np.int64)) >> 1)
+            np.testing.assert_array_equal(
+                got.astype(np.int64), ref, err_msg=f"lane {lane} plane {p}"
+            )
+
+    # Cross-byte independence: every adjacent byte pair decodes as if
+    # alone (no borrow/carry bleed between bytes in the subtract / the
+    # +0x7f zero-detect / the >>1 spill mask).
+    lo = np.repeat(np.arange(256, dtype=np.uint32), 256)
+    hi = np.tile(np.arange(256, dtype=np.uint32), 256)
+    x32 = lo | (hi << np.uint32(8))
+
+    def swar(x):
+        out = []
+        for p in range(4):
+            c = (x >> np.uint32(2 * p)) & np.uint32(0x03030303)
+            d = ((np.uint32(0x04040404) - c) >> np.uint32(1)) & np.uint32(
+                0x7F7F7F7F
+            )
+            t = c ^ np.uint32(0x01010101)
+            nz_high = (t + np.uint32(0x7F7F7F7F)) | t
+            zmask = (~nz_high & np.uint32(0x80808080)) >> np.uint32(7)
+            out.append(d & ~(zmask * np.uint32(0xFF)))
+        return out
+
+    pair = swar(x32)
+    solo_lo = swar(lo)
+    solo_hi = swar(hi << np.uint32(8))
+    for p in range(4):
+        np.testing.assert_array_equal(
+            pair[p] & np.uint32(0xFF), solo_lo[p] & np.uint32(0xFF),
+            err_msg=f"plane {p} low byte perturbed by neighbor",
+        )
+        np.testing.assert_array_equal(
+            pair[p] & np.uint32(0xFF00), solo_hi[p] & np.uint32(0xFF00),
+            err_msg=f"plane {p} high byte perturbed by neighbor",
+        )
