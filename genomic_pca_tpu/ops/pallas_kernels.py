@@ -413,7 +413,15 @@ def fused_left_apply_2d(
 
 
 def _standardize_packed_tile(pk_tile, mean_col, inv_col, out_dtype):
-    """(tile_d, n4) uint8 -> (tile_d, 4*n4) standardized, plane-major."""
+    """(tile_d, n4) uint8 -> (tile_d, 4*n4) standardized, plane-major.
+
+    Stays on the int32-lane decode: a SWAR byte-parallel variant
+    (decode to sentinel int8, reuse the dense standardize tile) was
+    measured SLOWER for float output (2.69 vs 2.19 ms/iter at the
+    bench shape) — the int8->bf16 relayout cast costs more than the
+    4x-fewer-lanes decode saves.  The q8 kernels keep their SWAR
+    unpack because their MXU operand IS int8 (no cast at all;
+    VALIDATION.md round-3 unpack table)."""
     c = pk_tile.astype(jnp.int32)
     scale = inv_col.astype(out_dtype)
     shift = (-mean_col * inv_col).astype(out_dtype)
