@@ -24,3 +24,45 @@ from genomic_pca_tpu.config import (  # noqa: F401
     EigenSnpConfig,
     RsvdConfig,
 )
+
+__all__ = [
+    "DataPrepConfig",
+    "EigenSnpConfig",
+    "RsvdConfig",
+]
+
+
+def __getattr__(name):  # lazy: keep `import genomic_pca_tpu` light
+    """Top-level convenience re-exports of the primary API, resolved
+    lazily so importing the package never pulls jax/device backends in
+    before the caller wants them (the CLI relies on that for backend
+    warm-up ordering)."""
+    lazy = {
+        "streamed_pca": ("genomic_pca_tpu.models.pca", "streamed_pca"),
+        "transform": ("genomic_pca_tpu.models.pca", "transform"),
+        "transform_device": ("genomic_pca_tpu.models.pca", "transform_device"),
+        "PcaResult": ("genomic_pca_tpu.models.pca", "PcaResult"),
+        "prepare_data": ("genomic_pca_tpu.models.prepare", "prepare_data"),
+        "PreparedData": ("genomic_pca_tpu.models.prepare", "PreparedData"),
+        "compute_eigensnp_pca": (
+            "genomic_pca_tpu.models.eigensnp", "compute_eigensnp_pca",
+        ),
+        "EigenSnpResult": (
+            "genomic_pca_tpu.models.eigensnp", "EigenSnpResult",
+        ),
+        "ShardedMatrix": ("genomic_pca_tpu.parallel.sharded", "ShardedMatrix"),
+        "StreamingMatrix": ("genomic_pca_tpu.ops.streaming", "StreamingMatrix"),
+        "run_vcf_workflow": ("genomic_pca_tpu.workflows", "run_vcf_workflow"),
+        "run_eigensnp_workflow": (
+            "genomic_pca_tpu.workflows", "run_eigensnp_workflow",
+        ),
+        "run_projection_workflow": (
+            "genomic_pca_tpu.workflows", "run_projection_workflow",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'genomic_pca_tpu' has no attribute {name!r}")
