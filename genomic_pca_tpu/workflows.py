@@ -269,6 +269,7 @@ def run_projection_workflow(
     loadings_path: str,
     moments_path: str,
     output_prefix: str,
+    projection_strip_rows: int = 262_144,
 ) -> None:
     """Project NEW samples into a previously fitted PC space.
 
@@ -338,10 +339,22 @@ def run_projection_workflow(
                 "orientation encodes dosage' = 2 - dosage and would "
                 "corrupt the scores silently."
             )
-        geno_new = bed.read(rows, np.arange(bed.n_samples, dtype=np.int64))
-
-    with timer.stage("Device projection"):
-        scores = transform_device(geno_new, loadings, means, stds)
+    with timer.stage("Device projection (strip-chunked)"):
+        # Projection is linear in SNP rows, so stream the new BED in
+        # strips and sum the per-strip device projections — the host
+        # never materializes the full (D, N_new) decode (a multi-GB
+        # cliff at genome scale), and each strip's standardize+matmul
+        # runs on device with the TRAINING moments.
+        n_new = bed.n_samples
+        all_samples = np.arange(n_new, dtype=np.int64)
+        scores = np.zeros((n_new, loadings.shape[1]), dtype=np.float32)
+        strip = projection_strip_rows
+        for lo in range(0, len(rows), strip):
+            hi = min(lo + strip, len(rows))
+            g_strip = bed.read(rows[lo:hi], all_samples)
+            scores += transform_device(
+                g_strip, loadings[lo:hi], means[lo:hi], stds[lo:hi]
+            )
 
     with timer.stage("Output writing"):
         if jax.process_index() == 0:

@@ -135,3 +135,49 @@ def test_project_cli_end_to_end(rng, tmp_path):
     for i in range(k):
         r = abs(np.corrcoef(s_fit[:, i], s_proj[:, i])[0, 1])
         assert r > 0.999, (i, r)
+
+
+def test_projection_chunked_matches_single_strip(rng, tmp_path):
+    """Strip-chunked projection (linearity over SNP rows) is identical
+    to the one-shot projection."""
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.io.writers import write_loadings, write_moments
+    from genomic_pca_tpu.workflows import run_projection_workflow
+
+    d, n, k = 700, 48, 3
+    g = make_genotypes(rng, d, n, missing_rate=0.02)
+    write_plink(str(tmp_path / "nb"), g, bp=list(range(10, d * 10 + 10, 10)))
+    mean, std = _train_moments(g)
+    loadings = rng.standard_normal((d, k)).astype(np.float32)
+    sids = [f"snp{i}" for i in range(d)]
+    write_loadings(
+        str(tmp_path / "m"), sids, ["1"] * d, list(range(10, d * 10 + 10, 10)),
+        loadings,
+    )
+    write_moments(str(tmp_path / "m"), sids, mean, std,
+                  ["A"] * d, ["C"] * d)
+
+    run_projection_workflow(
+        str(tmp_path / "nb"),
+        str(tmp_path / "m.eigensnp.loadings.tsv"),
+        str(tmp_path / "m.eigensnp.moments.tsv"),
+        str(tmp_path / "one"),
+    )
+    run_projection_workflow(
+        str(tmp_path / "nb"),
+        str(tmp_path / "m.eigensnp.loadings.tsv"),
+        str(tmp_path / "m.eigensnp.moments.tsv"),
+        str(tmp_path / "chk"),
+        projection_strip_rows=256,  # 3 uneven strips
+    )
+
+    def read(path):
+        with open(path) as fh:
+            fh.readline()
+            return np.asarray(
+                [ln.split("\t")[1:] for ln in fh], dtype=np.float64
+            )
+
+    one = read(tmp_path / "one.projected.pca.tsv")
+    chk = read(tmp_path / "chk.projected.pca.tsv")
+    np.testing.assert_allclose(chk, one, rtol=1e-4, atol=5e-4)
