@@ -289,6 +289,14 @@ def run_projection_workflow(
     timer = StageTimer()
     enable_persistent_cache()
     warm_backend_async()
+    if process_count_nodevice() > 1:
+        from genomic_pca_tpu.errors import DataPrepError
+
+        raise DataPrepError(
+            "--project is a single-process operation (the model is k "
+            "columns; there is nothing to shard across hosts) — run it "
+            "on one process."
+        )
 
     with timer.stage("Model loading (loadings + moments)"):
         l_ids, loadings = read_loadings(loadings_path)
