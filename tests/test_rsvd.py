@@ -120,3 +120,24 @@ def test_rfit_tolerance_q8_interpret(rng):
     full = streamed_pca(sm, k=4, n_power_iter=8, seed=1)
     r = _concordance(full.scores[:, :4], res.scores[:, :4])
     assert (r > 0.999).all(), r
+
+
+def test_rfit_tolerance_streaming_q8(rng):
+    """Tolerance on the STREAMING container: steering passes early-exit
+    but the mandated exact polish always runs; n_iter_done reported."""
+    from genomic_pca_tpu.models.pca import streamed_pca
+    from tests.test_q8 import _streaming_from_dense
+    from tests.conftest import make_genotypes
+
+    g = make_genotypes(rng, 768, 128, n_pops=4, fst=0.25)
+    sm, _ = _streaming_from_dense(
+        g, strip=256, mode="pallas_interpret", packed=True,
+        kernel_precision="q8", tile_d=128,
+    )
+    n_iter = 8
+    res = streamed_pca(sm, k=4, n_power_iter=n_iter, seed=1, tolerance=5e-2)
+    assert res.n_iter_done is not None and res.n_iter_done < n_iter
+    full = streamed_pca(sm, k=4, n_power_iter=n_iter, seed=1)
+    assert full.n_iter_done == n_iter
+    r = _concordance(full.scores[:, :4], res.scores[:, :4])
+    assert (r > 0.999).all(), r
