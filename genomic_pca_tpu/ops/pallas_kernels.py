@@ -1078,8 +1078,9 @@ def _left2d_q8_kernel(g_ref, z_ref, sz_ref, out_ref, *, packed, swar):
     )
     # Per-row-tile dequant scale: the caller quantized z tile-by-tile
     # (tighter scales than one global one); apply before accumulating
-    # across row tiles.
-    out_ref[:] += t.astype(jnp.float32) * sz_ref[0, 0]
+    # across row tiles.  Scales ride in SMEM (a (1, 1) VMEM block is
+    # not a legal Mosaic block shape) indexed by the row-tile id.
+    out_ref[:] += t.astype(jnp.float32) * sz_ref[i]
 
 
 @functools.partial(
@@ -1131,7 +1132,7 @@ def right_apply_2d_q8(
 def left_apply_2d_q8(
     geno: jax.Array,  # (D, N) int8 or (D, N4) uint8 packed
     z8: jax.Array,  # (D, L) int8, quantized per row tile of tile_d
-    sz: jax.Array,  # (D/tile_d, 1) f32 per-row-tile dequant scales
+    sz: jax.Array,  # (D/tile_d,) f32 per-row-tile dequant scales
     tile_d: int = 512,
     tile_n: int = 512,
     interpret: bool = False,
@@ -1155,8 +1156,7 @@ def left_apply_2d_q8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_d, ell), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((bfac * tile_n, ell), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
@@ -1209,8 +1209,7 @@ def q8_power_pass_2d(
         jnp.round(z3 * (1.0 / sz)[:, None, None]), -127.0, 127.0
     ).astype(jnp.int8).reshape(d, ell)
     out = left_apply_2d_q8(
-        geno, z8, sz.reshape(nt, 1), tile_d=tile_d, tile_n=tile_n,
-        interpret=interpret,
+        geno, z8, sz, tile_d=tile_d, tile_n=tile_n, interpret=interpret,
     )
     ru = jnp.sum(u * y, axis=0, keepdims=True)
     return out, ru
