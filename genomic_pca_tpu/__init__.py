@@ -25,19 +25,7 @@ from genomic_pca_tpu.config import (  # noqa: F401
     RsvdConfig,
 )
 
-__all__ = [
-    "DataPrepConfig",
-    "EigenSnpConfig",
-    "RsvdConfig",
-]
-
-
-def __getattr__(name):  # lazy: keep `import genomic_pca_tpu` light
-    """Top-level convenience re-exports of the primary API, resolved
-    lazily so importing the package never pulls jax/device backends in
-    before the caller wants them (the CLI relies on that for backend
-    warm-up ordering)."""
-    lazy = {
+_LAZY = {
         "streamed_pca": ("genomic_pca_tpu.models.pca", "streamed_pca"),
         "transform": ("genomic_pca_tpu.models.pca", "transform"),
         "transform_device": ("genomic_pca_tpu.models.pca", "transform_device"),
@@ -59,10 +47,26 @@ def __getattr__(name):  # lazy: keep `import genomic_pca_tpu` light
         "run_projection_workflow": (
             "genomic_pca_tpu.workflows", "run_projection_workflow",
         ),
-    }
-    if name in lazy:
+}
+
+__all__ = ["DataPrepConfig", "EigenSnpConfig", "RsvdConfig", *_LAZY]
+
+
+def __getattr__(name):  # PEP 562: keep `import genomic_pca_tpu` light
+    """Top-level convenience re-exports of the primary API, resolved
+    lazily so importing the package never pulls jax/device backends in
+    before the caller wants them (the CLI relies on that for backend
+    warm-up ordering).  Resolved names are cached into module globals
+    so repeated access costs one dict lookup."""
+    if name in _LAZY:
         import importlib
 
-        mod, attr = lazy[name]
-        return getattr(importlib.import_module(mod), attr)
+        mod, attr = _LAZY[name]
+        value = getattr(importlib.import_module(mod), attr)
+        globals()[name] = value
+        return value
     raise AttributeError(f"module 'genomic_pca_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))

@@ -270,6 +270,7 @@ def run_projection_workflow(
     moments_path: str,
     output_prefix: str,
     projection_strip_rows: int = 262_144,
+    projection_strip_bytes: int = 1 << 29,  # 512 MB host decode per strip
 ) -> None:
     """Project NEW samples into a previously fitted PC space.
 
@@ -289,14 +290,20 @@ def run_projection_workflow(
     timer = StageTimer()
     enable_persistent_cache()
     warm_backend_async()
-    if process_count_nodevice() > 1:
-        from genomic_pca_tpu.errors import DataPrepError
 
-        raise DataPrepError(
-            "--project is a single-process operation (the model is k "
-            "columns; there is nothing to shard across hosts) — run it "
-            "on one process."
-        )
+    def _require_single_process(count: int) -> None:
+        if count > 1:
+            raise DataPrepError(
+                "--project is a single-process operation (the model is "
+                "k columns; there is nothing to shard across hosts) — "
+                "run it on one process."
+            )
+
+    # Fast-fail when a multi-controller runtime already exists; a
+    # multi-host PJRT pod without jax.distributed is only detectable
+    # once the backend initializes, so the check repeats with the real
+    # count right before the device stage below.
+    _require_single_process(process_count_nodevice())
 
     with timer.stage("Model loading (loadings + moments)"):
         l_ids, loadings = read_loadings(loadings_path)
@@ -308,7 +315,7 @@ def run_projection_workflow(
                 "order); both must come from the same fit."
             )
 
-    with timer.stage("New-sample genotype matching & read"):
+    with timer.stage("New-sample genotype matching"):
         bed = BedReader(bed_path)
         from collections import Counter
 
@@ -348,21 +355,44 @@ def run_projection_workflow(
                 "corrupt the scores silently."
             )
     with timer.stage("Device projection (strip-chunked)"):
+        import jax as _jax
+
+        _require_single_process(_jax.process_count())
         # Projection is linear in SNP rows, so stream the new BED in
         # strips and sum the per-strip device projections — the host
         # never materializes the full (D, N_new) decode (a multi-GB
         # cliff at genome scale), and each strip's standardize+matmul
-        # runs on device with the TRAINING moments.
+        # runs on device with the TRAINING moments.  The strip size
+        # bounds HOST BYTES (rows x n_new int8), so it scales down with
+        # wide new cohorts; the next strip decodes on a background
+        # thread while the device projects the current one.
         n_new = bed.n_samples
         all_samples = np.arange(n_new, dtype=np.int64)
         scores = np.zeros((n_new, loadings.shape[1]), dtype=np.float32)
-        strip = projection_strip_rows
-        for lo in range(0, len(rows), strip):
-            hi = min(lo + strip, len(rows))
-            g_strip = bed.read(rows[lo:hi], all_samples)
-            scores += transform_device(
-                g_strip, loadings[lo:hi], means[lo:hi], stds[lo:hi]
-            )
+        strip = max(
+            1024,
+            min(
+                projection_strip_rows,
+                projection_strip_bytes // max(n_new, 1),
+            ),
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = [
+            (lo, min(lo + strip, len(rows)))
+            for lo in range(0, len(rows), strip)
+        ]
+        with ThreadPoolExecutor(1) as ex:
+            nxt = ex.submit(bed.read, rows[bounds[0][0]:bounds[0][1]],
+                            all_samples)
+            for i, (lo, hi) in enumerate(bounds):
+                g_strip = nxt.result()
+                if i + 1 < len(bounds):
+                    lo2, hi2 = bounds[i + 1]
+                    nxt = ex.submit(bed.read, rows[lo2:hi2], all_samples)
+                scores += transform_device(
+                    g_strip, loadings[lo:hi], means[lo:hi], stds[lo:hi]
+                )
 
     with timer.stage("Output writing"):
         if jax.process_index() == 0:

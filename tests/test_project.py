@@ -15,6 +15,15 @@ from genomic_pca_tpu.parallel.sharded import ShardedMatrix, pack_int8_rows
 from tests.conftest import make_genotypes
 
 
+def _read_scores(path):
+    """Parse a score TSV ({prefix}.*.pca.tsv) -> (N, K) float64."""
+    with open(path) as fh:
+        fh.readline()
+        return np.asarray(
+            [ln.strip().split("\t")[1:] for ln in fh], dtype=np.float64
+        )
+
+
 def _train_moments(g):
     valid = g != -127
     g0 = np.where(valid, g, 0).astype(np.float64)
@@ -121,14 +130,8 @@ def test_project_cli_end_to_end(rng, tmp_path):
     )
     assert proj.returncode == 0, proj.stderr[-2000:]
 
-    def read_scores(path):
-        with open(path) as fh:
-            head = fh.readline().split("\t")
-            rows = [ln.strip().split("\t")[1:] for ln in fh]
-        return np.asarray(rows, dtype=np.float64)
-
-    s_fit = read_scores(tmp_path / "fit.eigensnp.pca.tsv")
-    s_proj = read_scores(tmp_path / "proj.projected.pca.tsv")
+    s_fit = _read_scores(tmp_path / "fit.eigensnp.pca.tsv")
+    s_proj = _read_scores(tmp_path / "proj.projected.pca.tsv")
     assert s_proj.shape == (n, k)
     # Self-projection: X_std @ L = scores up to the rSVD approximation
     # and the 6-dp loadings round-trip -> per-PC |r| ~ 1.
@@ -171,13 +174,6 @@ def test_projection_chunked_matches_single_strip(rng, tmp_path):
         projection_strip_rows=256,  # 3 uneven strips
     )
 
-    def read(path):
-        with open(path) as fh:
-            fh.readline()
-            return np.asarray(
-                [ln.split("\t")[1:] for ln in fh], dtype=np.float64
-            )
-
-    one = read(tmp_path / "one.projected.pca.tsv")
-    chk = read(tmp_path / "chk.projected.pca.tsv")
+    one = _read_scores(tmp_path / "one.projected.pca.tsv")
+    chk = _read_scores(tmp_path / "chk.projected.pca.tsv")
     np.testing.assert_allclose(chk, one, rtol=1e-4, atol=5e-4)
