@@ -171,6 +171,23 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # Conditional requiredness (main.rs:519-540).
     if args.project:
+        # --project is its own dispatch mode: combining it with fit-mode
+        # flags would silently ignore the fit (strict conditional flag
+        # discipline, matching the reference parser's style).
+        conflicting = [
+            name
+            for name, val in (("--eigensnp", args.eigensnp),
+                              ("--vcf-dir", args.vcf_dir),
+                              ("-k/--components", args.components))
+            if val
+        ]
+        if conflicting:
+            log.error(
+                "--project cannot be combined with fit-mode flags "
+                "(%s): run the fit and the projection as separate "
+                "invocations.", ", ".join(conflicting),
+            )
+            return 2
         missing = [
             name
             for name, val in (("--bed-file", args.bed_file),

@@ -12,7 +12,7 @@ import argparse
 from typing import List, Optional, Tuple
 
 _CHROM_ORDER = {str(i): i for i in range(1, 23)}
-_CHROM_ORDER.update({"X": 23, "Y": 24, "XY": 25, "MT": 26, "M": 26})
+_CHROM_ORDER.update({"X": 23, "Y": 24, "MT": 25, "M": 25, "XY": 26})
 
 
 def chrom_sort_key(chrom: str) -> Tuple[int, str]:

@@ -222,6 +222,10 @@ def transform(
     TRAINING standardization moments (std=None -> center-only, the VCF
     workflow convention).  Missing (-127) imputes to the training mean.
     Returns (n_new_samples, k) scores.
+
+    SNPs with std == 0 (monomorphic in training) contribute ZERO — the
+    inert-row convention of the fit path and of `transform_device`
+    (inv_std = 0), so the two transform paths agree on any input.
     """
     g = np.asarray(new_geno, dtype=np.float64)
     valid = np.asarray(new_geno) != -127
@@ -229,7 +233,7 @@ def transform(
     x = np.where(valid, g, mean[:, None]) - mean[:, None]
     if std is not None:
         s = np.asarray(std, dtype=np.float64)
-        x /= np.where(s > 0, s, 1.0)[:, None]
+        x *= np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)[:, None]
     return (x.T @ np.asarray(loadings, dtype=np.float64)).astype(np.float32)
 
 
@@ -267,3 +271,100 @@ def transform_device(
     return sm.left_apply(np.asarray(loadings, dtype=np.float32)).astype(
         np.float32
     )
+
+
+class StripProjector:
+    """One compiled projection program reused across equal-shape strips.
+
+    `transform_device` builds a fresh `ShardedMatrix` (fresh mesh +
+    freshly closed-over jitted kernels) per call, so calling it inside a
+    per-strip loop re-traces the projection for every strip.  This class
+    compiles the standardize + contraction ONCE for a fixed
+    (strip_rows, n_new, k) shape; tail strips (and monomorphic /
+    std == 0 SNPs) are handled by inert rows (inv_std = 0), the same
+    convention as the fit path.  Inputs shard over the variant axis of
+    the mesh; only the (n_new, k) partial scores cross back per strip.
+    """
+
+    def __init__(
+        self,
+        strip_rows: int,
+        n_new: int,
+        k: int,
+        mesh=None,
+    ) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from genomic_pca_tpu.parallel.mesh import VARIANT_AXIS, make_mesh
+
+        self.mesh = mesh or make_mesh()
+        n_dev = self.mesh.devices.size
+        # Pad rows to a device multiple x 8 sublanes so the variant-axis
+        # shard is even and tile-aligned.
+        unit = n_dev * 8
+        self.rows = -(-strip_rows // unit) * unit
+        self.n_new = int(n_new)
+        self.k = int(k)
+        self._row_sh = NamedSharding(self.mesh, P(VARIANT_AXIS, None))
+        self._vec_sh = NamedSharding(self.mesh, P(VARIANT_AXIS))
+
+        def _project(g, mean, inv_std, w):
+            x = (
+                jnp.where(g != -127, g.astype(jnp.float32), mean[:, None])
+                - mean[:, None]
+            )
+            # inv_std = 0 rows (padding / monomorphic) are inert here.
+            x = x * inv_std[:, None]
+            return jnp.einsum(
+                "dn,dk->nk", x, w, preferred_element_type=jnp.float32
+            )
+
+        self._fn = jax.jit(
+            _project,
+            in_shardings=(
+                self._row_sh,
+                self._vec_sh,
+                self._vec_sh,
+                self._row_sh,
+            ),
+            out_shardings=NamedSharding(self.mesh, P(None, None)),
+        )
+
+    def __call__(
+        self,
+        g_strip: np.ndarray,
+        loadings: np.ndarray,
+        mean: np.ndarray,
+        std: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Partial scores (n_new, k) for one strip of model SNP rows."""
+        import jax
+
+        g_strip = np.asarray(g_strip, dtype=np.int8)
+        r = g_strip.shape[0]
+        if r > self.rows or g_strip.shape[1] != self.n_new:
+            raise ValueError(
+                f"strip shape {g_strip.shape} exceeds projector shape "
+                f"({self.rows}, {self.n_new})"
+            )
+        g = np.zeros((self.rows, self.n_new), dtype=np.int8)
+        g[:r] = g_strip
+        m = np.zeros(self.rows, dtype=np.float32)
+        m[:r] = np.asarray(mean, dtype=np.float32)
+        iv = np.zeros(self.rows, dtype=np.float32)
+        if std is None:
+            iv[:r] = 1.0
+        else:
+            s = np.asarray(std, dtype=np.float32)
+            iv[:r] = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+        w = np.zeros((self.rows, self.k), dtype=np.float32)
+        w[:r] = np.asarray(loadings, dtype=np.float32)
+        out = self._fn(
+            jax.device_put(g, self._row_sh),
+            jax.device_put(m, self._vec_sh),
+            jax.device_put(iv, self._vec_sh),
+            jax.device_put(w, self._row_sh),
+        )
+        return np.asarray(out, dtype=np.float32)

@@ -1202,10 +1202,15 @@ class ShardedMatrix:
                 def body(c):
                     i, cur, _res = c
                     t = tfn(cur)
-                    # Residual of t against the incoming (orthonormal
-                    # after the first pass) basis; the first pass sees a
-                    # random sketch, whose large residual never exits.
-                    res = subspace_residual(cur, t)
+                    # Residual of t against the incoming basis.  On the
+                    # first pass `cur` is the raw random sketch (not yet
+                    # orthonormal), so the residual is meaningless there
+                    # — pin it to inf so the loop can never exit before
+                    # one full orthonormalized pass (matches the i > 0
+                    # guard of the host and streaming loops).
+                    res = jnp.where(
+                        i > 0, subspace_residual(cur, t), jnp.float32(jnp.inf)
+                    )
                     return i + 1, cholqr2(t), res
 
                 i, out, _ = jax.lax.while_loop(

@@ -285,7 +285,7 @@ def run_projection_workflow(
     from genomic_pca_tpu.errors import DataPrepError
     from genomic_pca_tpu.io.bed import BedReader
     from genomic_pca_tpu.io.writers import read_loadings, read_moments
-    from genomic_pca_tpu.models.pca import transform_device
+    from genomic_pca_tpu.models.pca import StripProjector
 
     timer = StageTimer()
     enable_persistent_cache()
@@ -382,6 +382,10 @@ def run_projection_workflow(
             (lo, min(lo + strip, len(rows)))
             for lo in range(0, len(rows), strip)
         ]
+        # ONE compiled projection program for every strip (the tail
+        # strip pads to the common shape with inert rows) — per-strip
+        # transform_device would re-trace/recompile each iteration.
+        project = StripProjector(strip, n_new, loadings.shape[1])
         with ThreadPoolExecutor(1) as ex:
             nxt = ex.submit(bed.read, rows[bounds[0][0]:bounds[0][1]],
                             all_samples)
@@ -390,7 +394,7 @@ def run_projection_workflow(
                 if i + 1 < len(bounds):
                     lo2, hi2 = bounds[i + 1]
                     nxt = ex.submit(bed.read, rows[lo2:hi2], all_samples)
-                scores += transform_device(
+                scores += project(
                     g_strip, loadings[lo:hi], means[lo:hi], stds[lo:hi]
                 )
 

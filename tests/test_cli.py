@@ -106,3 +106,17 @@ def test_profile_dir_smoke(tmp_path, rng):
                "--profile-dir", str(tmp_path / "prof"), "--log-level", "Off"])
     assert rc == 0
     assert (tmp_path / "prof").exists()
+
+
+def test_project_rejects_fit_mode_flags(tmp_path):
+    """--project combined with --eigensnp or VCF-workflow flags must
+    error (not silently ignore the fit) — strict conditional-flag
+    discipline matching the reference parser."""
+    base = ["--project", "--bed-file", str(tmp_path / "nb"),
+            "--project-loadings", str(tmp_path / "l.tsv"),
+            "--project-moments", str(tmp_path / "m.tsv"),
+            "-o", str(tmp_path / "out"), "--log-level", "Warn"]
+    assert main(base + ["--eigensnp",
+                        "--ld-block-file", str(tmp_path / "b.tsv")]) == 2
+    assert main(base + ["-d", str(tmp_path)]) == 2
+    assert main(base + ["-k", "4"]) == 2

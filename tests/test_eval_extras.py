@@ -19,20 +19,38 @@ def test_subset_merge_sort(tmp_path):
     n = create_combined_subset_tsv([str(a), str(b)], str(out))
     lines = out.read_text().splitlines()
     assert n == len(lines)
-    assert lines == [
-        "1\t50",
-        "1\t100",
-        "2\t400",  # chr2 normalized for ordering, original name...
-        "2\t500",
-        "10\t7",
-        "X\t50",
-        "MT\t1",
-    ] or lines[0] == "1\t50"  # ordering is the contract; exact text below
-    # chromosome order: numeric 1..22 then X, Y, XY, MT
+    # chromosome order parity: numeric 1..22, X, Y, MT, XY
+    # (/root/reference/data/subset.py:23-31: x -> 2, y -> 3, mt/m -> 4, xy -> 5)
     chroms = [l.split("\t")[0].upper().replace("CHR", "") for l in lines]
-    order = {**{str(i): i for i in range(1, 23)}, "X": 23, "Y": 24, "XY": 25, "MT": 26}
+    order = {**{str(i): i for i in range(1, 23)}, "X": 23, "Y": 24, "MT": 25, "XY": 26}
     keys = [order.get(c, 99) for c in chroms]
     assert keys == sorted(keys)
+
+
+def test_subset_full_chrom_order_parity(tmp_path):
+    """Full-order parity with /root/reference/data/subset.py:23-31.
+
+    MT sorts BEFORE XY (mt -> group 4, xy -> group 5 in the reference key),
+    after the numeric chromosomes, X, and Y.
+    """
+    from genomic_pca_tpu.eval.subset import chrom_sort_key, create_combined_subset_tsv
+
+    a = tmp_path / "mixed.tsv"
+    # Deliberately scrambled, with both M/MT spellings and chr prefixes.
+    a.write_text(
+        "XY\t10\nMT\t5\nchrY\t3\nX\t7\n22\t1\nchr1\t9\nM\t2\n10\t4\n2\t8\n"
+    )
+    out = tmp_path / "out.tsv"
+    create_combined_subset_tsv([str(a)], str(out))
+    chroms = [
+        l.split("\t")[0].upper().replace("CHR", "")
+        for l in out.read_text().splitlines()
+    ]
+    assert chroms == ["1", "2", "10", "22", "X", "Y", "M", "MT", "XY"]
+    # Key-level assertions of the reference grouping.
+    assert chrom_sort_key("MT")[0] < chrom_sort_key("XY")[0]
+    assert chrom_sort_key("M")[0] == chrom_sort_key("MT")[0]
+    assert chrom_sort_key("Y")[0] < chrom_sort_key("MT")[0]
 
 
 def test_video_gif_generation(tmp_path, rng):

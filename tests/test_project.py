@@ -177,3 +177,56 @@ def test_projection_chunked_matches_single_strip(rng, tmp_path):
     one = _read_scores(tmp_path / "one.projected.pca.tsv")
     chk = _read_scores(tmp_path / "chk.projected.pca.tsv")
     np.testing.assert_allclose(chk, one, rtol=1e-4, atol=5e-4)
+
+
+def test_transform_zero_std_convention(rng):
+    """SNPs with std == 0 contribute ZERO on BOTH transform paths (the
+    inert-row convention of the fit path); previously the host path
+    kept the centered contribution while the device path zeroed it."""
+    d, n_new, k = 256, 16, 3
+    g_new = make_genotypes(rng, d, n_new, missing_rate=0.02)
+    mean = rng.uniform(0.2, 1.8, d).astype(np.float32)
+    std = rng.uniform(0.3, 1.0, d).astype(np.float32)
+    std[::7] = 0.0  # monomorphic-in-training SNPs
+    loadings = rng.standard_normal((d, k)).astype(np.float32)
+
+    host = transform(g_new, loadings, mean, std)
+    dev = transform_device(g_new, loadings, mean, std)
+    np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-4)
+
+    # The zero-std rows must actually be inert: zeroing their loadings
+    # changes nothing.
+    l2 = loadings.copy()
+    l2[::7] = 0.0
+    np.testing.assert_allclose(transform(g_new, l2, mean, std), host,
+                               rtol=0, atol=0)
+
+
+def test_strip_projector_matches_transform_device(rng):
+    """StripProjector (one compiled program, inert-row tail padding)
+    reproduces transform_device strip-by-strip."""
+    from genomic_pca_tpu.models.pca import StripProjector
+
+    d, n_new, k, strip = 700, 24, 4, 256
+    g_train = make_genotypes(rng, d, 64, missing_rate=0.0)
+    mean, std = _train_moments(g_train)
+    std[5] = 0.0
+    g_new = make_genotypes(rng, d, n_new, missing_rate=0.04)
+    loadings = rng.standard_normal((d, k)).astype(np.float32)
+
+    whole = transform(g_new, loadings, mean, std)
+    project = StripProjector(strip, n_new, k)
+    acc = np.zeros((n_new, k), dtype=np.float32)
+    for lo in range(0, d, strip):
+        hi = min(lo + strip, d)
+        acc += project(g_new[lo:hi], loadings[lo:hi], mean[lo:hi],
+                       std[lo:hi])
+    np.testing.assert_allclose(acc, whole, rtol=2e-5, atol=5e-4)
+    # center-only convention
+    whole_c = transform(g_new, loadings, mean, None)
+    pc = StripProjector(strip, n_new, k)
+    acc_c = np.zeros((n_new, k), dtype=np.float32)
+    for lo in range(0, d, strip):
+        hi = min(lo + strip, d)
+        acc_c += pc(g_new[lo:hi], loadings[lo:hi], mean[lo:hi], None)
+    np.testing.assert_allclose(acc_c, whole_c, rtol=2e-5, atol=2e-3)
