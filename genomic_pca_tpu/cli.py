@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "to refine exactly the stage-2 basis).")
     p.add_argument("--eigensnp-collect-diagnostics", action="store_true",
                    help="Enable detailed diagnostics collection.")
+    p.add_argument("--eigensnp-diagnostic-block-tag", default=None,
+                   help="Deep-trace ONE LD block (by its chr:start-end "
+                        "tag): the diagnostics JSON gains a block_trace "
+                        "entry with the block's subset indices, SNP ids, "
+                        "full local basis, singular values and condensed "
+                        "projection.  Implies diagnostics collection.")
     p.add_argument("--profile-dir", default=None,
                    help="Capture a jax.profiler trace of the compute "
                         "stages to this directory (XProf/TensorBoard).")
@@ -269,6 +275,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 refine_passes=_default(args.eigensnp_refine_passes, 1),
                 refine_width=args.eigensnp_refine_width,
                 collect_diagnostics=args.eigensnp_collect_diagnostics,
+                diagnostic_block_tag=args.eigensnp_diagnostic_block_tag,
             )
             with maybe_trace(args.profile_dir):
                 run_eigensnp_workflow(

@@ -113,6 +113,14 @@ class EigenSnpConfig:
     snp_strip_size: int = 2000
     refine_passes: int = 1
     collect_diagnostics: bool = False
+    # Analog of `diagnostic_block_list_id_to_trace`
+    # (/root/reference/src/main.rs:326, always None there): select ONE
+    # LD block by tag for deep stage-1 tracing — the diagnostics JSON
+    # gains a `block_trace` entry with the block's subset sample
+    # indices, PCA SNP ids, full local basis, local singular values,
+    # and its rows of the condensed projection.  Setting this implies
+    # diagnostics collection.
+    diagnostic_block_tag: Optional[str] = None
     # Width of the refinement subspace (extension over the reference).
     # None = auto: fill the 128-lane MXU tile the fused kernels pad the
     # sketch to anyway (same TPU wall-clock as width k, strictly better

@@ -689,7 +689,22 @@ def compute_eigensnp_pca(
         fingerprint(cfg, n, d, [b.tag for b in prep.blocks]),
     )
 
-    diag: Optional[Dict] = {"blocks": []} if cfg.collect_diagnostics else None
+    # diagnostic_block_tag implies collection (it writes INTO the
+    # diagnostics JSON) — the Option<> sub-field relationship of the
+    # reference's diagnostic_block_list_id_to_trace (main.rs:326).
+    diag: Optional[Dict] = (
+        {"blocks": []}
+        if (cfg.collect_diagnostics or cfg.diagnostic_block_tag is not None)
+        else None
+    )
+    if cfg.diagnostic_block_tag is not None:
+        _tags = [b.tag for b in prep.blocks]
+        if cfg.diagnostic_block_tag not in _tags:
+            raise ComputeError(
+                f"--eigensnp-diagnostic-block-tag {cfg.diagnostic_block_tag!r}"
+                f" matches no LD block (have {len(_tags)} blocks, e.g. "
+                f"{_tags[:3]})."
+            )
     import time as _time
 
     stage_seconds: Dict[str, float] = {}
@@ -924,6 +939,41 @@ def compute_eigensnp_pca(
             "stage1_bases",
             {f"block_{i}": u for i, u in enumerate(local_bases)},
         )
+    if diag is not None and cfg.diagnostic_block_tag is not None:
+        # Deep trace of ONE selected block's full stage-1 intermediates
+        # (diagnostic_block_list_id_to_trace analog, main.rs:326):
+        # subset indices, SNP ids, local basis, singular values, and the
+        # block's rows of the condensed projection (y is assembled in
+        # block order with c_b rows per block).
+        b_idx = [b.tag for b in prep.blocks].index(cfg.diagnostic_block_tag)
+        block = prep.blocks[b_idx]
+
+        def _c_of(b):
+            return min(cfg.components_per_block, len(b.pca_snp_ids),
+                       len(subset))
+
+        off = sum(_c_of(prep.blocks[i]) for i in range(b_idx))
+        c_b = _c_of(block)
+        diag["block_trace"] = {
+            "tag": block.tag,
+            "block_index": int(b_idx),
+            "num_snps": int(len(block.pca_snp_ids)),
+            "num_local_components": int(c_b),
+            "subset_sample_indices": [int(x) for x in subset],
+            "pca_snp_ids": [int(x) for x in block.pca_snp_ids],
+            # Bases come back bucket-padded (exact zero rows past d_b);
+            # the trace records the real (d_b, c_b) basis.
+            "local_basis": np.asarray(local_bases[b_idx])[
+                : len(block.pca_snp_ids)
+            ].tolist(),
+            "local_singular_values": (
+                np.asarray(svals[b_idx]).tolist()
+                if svals is not None else None
+            ),
+            "condensed_projection": np.asarray(
+                y[off : off + c_b]
+            ).tolist(),
+        }
     stage_seconds["stages_1_2"] = _time.perf_counter() - _t_stage
     log.info(
         "EigenSNP stages 1+2: condensed matrix %s in %.1fs.",

@@ -148,6 +148,57 @@ def test_diagnostics_collection(tmp_path, rng):
     assert res.diagnostics["global"]["k_global"] == 3
 
 
+def test_diagnostic_block_trace(tmp_path, rng):
+    """--eigensnp-diagnostic-block-tag analog: the selected block's full
+    stage-1 intermediates land in the diagnostics JSON and are
+    numerically consistent (orthonormal basis; condensed projection ==
+    basis^T @ standardized block over all samples)."""
+    geno, prefix, cfg = _setup(
+        tmp_path, rng, n_snps=300, n_samples=40, n_blocks=3
+    )
+    prep = prepare_data(cfg)
+    tag = prep.blocks[1].tag
+    algo = EigenSnpConfig(
+        k_global=3, min_subset_size=10, snp_strip_size=128,
+        diagnostic_block_tag=tag,  # implies collection
+    )
+    res = compute_eigensnp_pca(prep, algo)
+    diag = res.diagnostics
+    assert diag is not None  # tag alone enables collection
+    tr = diag["block_trace"]
+    assert tr["tag"] == tag and tr["block_index"] == 1
+    d_b = tr["num_snps"]
+    c_b = tr["num_local_components"]
+    assert d_b == len(prep.blocks[1].pca_snp_ids)
+    assert len(tr["subset_sample_indices"]) == algo.subset_size(
+        prep.n_samples
+    )
+    u = np.asarray(tr["local_basis"])
+    assert u.shape == (d_b, c_b)
+    np.testing.assert_allclose(u.T @ u, np.eye(c_b), atol=5e-4)
+    assert len(tr["local_singular_values"]) == c_b
+    # Projection parity: rows of the condensed matrix for this block.
+    x = prep.fetch_block_standardized(
+        np.asarray(tr["pca_snp_ids"]),
+        np.arange(prep.n_samples, dtype=np.int64),
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr["condensed_projection"]), u.T @ x,
+        rtol=1e-3, atol=5e-3,
+    )
+
+    # Unknown tags fail fast.
+    import pytest
+    from genomic_pca_tpu.errors import ComputeError
+
+    with pytest.raises(ComputeError, match="matches no LD block"):
+        compute_eigensnp_pca(
+            prep,
+            EigenSnpConfig(k_global=3, min_subset_size=10,
+                           diagnostic_block_tag="nope:0-1"),
+        )
+
+
 def test_diagnostics_golden_schema(tmp_path, rng):
     """The diagnostics JSON is a faithful FullPcaRunDetailedDiagnostics
     analog (main.rs:410-432): golden-file check of its structure plus
@@ -160,6 +211,7 @@ def test_diagnostics_golden_schema(tmp_path, rng):
     algo = EigenSnpConfig(
         k_global=3, min_subset_size=10, collect_diagnostics=True,
         snp_strip_size=128, refine_passes=2,
+        diagnostic_block_tag=prep.blocks[0].tag,
     )
     diag = compute_eigensnp_pca(prep, algo).diagnostics
 
