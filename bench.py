@@ -133,14 +133,44 @@ def main() -> None:
             return direct, "direct_fallback"
         return slope, "marginal"
 
+    def trace_ms_per_iter(sm, tag: str):
+        """Trace-derived ON-DEVICE ms/iter: capture one dispatched
+        power loop under jax.profiler and read the 'XLA Modules' device
+        time from the xplane — load-independent, so the packed/dense
+        ordering reproduces in this artifact regardless of relay jitter
+        (the marginal-cost wall-clock above is the marginal HOST cost).
+        """
+        import shutil
+        import tempfile
+
+        from genomic_pca_tpu.utils.xplane import module_device_ms
+
+        n_tr = it_lo
+        _ = np.asarray(sm.power_iterate(b, n_tr))  # warm the program
+        td = tempfile.mkdtemp(prefix=f"gptpu_bench_trace_{tag}_")
+        try:
+            with jax.profiler.trace(td):
+                _ = np.asarray(sm.power_iterate(b, n_tr))
+            mod_ms, _n, err = module_device_ms(td)
+            if mod_ms is None:
+                return None, err
+            return mod_ms / n_tr, None
+        except Exception as e:  # trace capture must never sink the bench
+            return None, str(e)
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
     # PRODUCTION layout (headline): 2-bit packed + q8 int8-MXU loop.
     sm_packed = container(pack_codes(g_dev), kernel_precision="q8")
     dt_packed, how_packed = measure(sm_packed)
+    tr_packed, tr_err = trace_ms_per_iter(sm_packed, "packed_q8")
     # Dense int8 + q8, and the exact bf16 path, for the detail row.
     sm_dense = container(g_dev, kernel_precision="q8")
     dt_dense, how_dense = measure(sm_dense)
+    tr_dense, _ = trace_ms_per_iter(sm_dense, "dense_q8")
     sm_bf16 = container(g_dev, kernel_precision="bf16")
     dt_bf16, how_bf16 = measure(sm_bf16)
+    tr_bf16, _ = trace_ms_per_iter(sm_bf16, "dense_bf16")
 
     snps_per_sec = n_snps / dt_packed
     tflops_packed = flops_per_iter / dt_packed / 1e12
@@ -229,6 +259,26 @@ def main() -> None:
                         "dense_q8": how_dense,
                         "dense_bf16": how_bf16,
                     },
+                    # ON-DEVICE ms/iter from an xplane trace ('XLA
+                    # Modules' device time / iters): load-independent —
+                    # the authoritative packed-vs-dense ordering.
+                    "trace_device_ms_per_iter": (
+                        {
+                            "packed_q8": round(tr_packed, 4),
+                            "dense_q8": round(tr_dense, 4),
+                            "dense_bf16": round(tr_bf16, 4),
+                        }
+                        if None not in (tr_packed, tr_dense, tr_bf16)
+                        else {"unavailable": tr_err or "partial capture"}
+                    ),
+                    "trace_tflops_packed_q8": (
+                        round(flops_per_iter / (tr_packed * 1e-3) / 1e12, 1)
+                        if tr_packed else None
+                    ),
+                    "trace_tflops_dense_q8": (
+                        round(flops_per_iter / (tr_dense * 1e-3) / 1e12, 1)
+                        if tr_dense else None
+                    ),
                     "baseline": "numpy f64 Gram accumulation "
                     "(reference oracle inner loop) on this host",
                     "baseline_snps_per_sec": round(base_snps_per_sec, 1),

@@ -18,75 +18,18 @@ Usage: python scripts/mfu_trace.py [--trace-dir /tmp/mfu_trace]
 from __future__ import annotations
 
 import argparse
-import glob
 import sys
 import time
-from collections import defaultdict
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-
-def parse_xplane(trace_dir: str, top: int = 12):
-    """Best-effort xplane proto parse -> [(op_name, total_us, count)]."""
-    paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    if not paths:
-        return None, "no xplane.pb captured"
-    xplane_pb2 = None
-    for modpath in (
-        "xprof.protobuf.xplane_pb2",
-        "tensorboard_plugin_profile.protobuf.xplane_pb2",
-        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
-    ):
-        try:
-            import importlib
-
-            xplane_pb2 = importlib.import_module(modpath)
-            break
-        except ImportError:
-            continue
-    if xplane_pb2 is None:
-        return None, "xplane_pb2 proto unavailable"
-    spaces = []
-    for path in paths:
-        xs = xplane_pb2.XSpace()
-        with open(path, "rb") as fh:
-            xs.ParseFromString(fh.read())
-        spaces.append(xs)
-
-    def collect(device_only: bool):
-        totals = defaultdict(lambda: [0.0, 0])
-        for xs in spaces:
-            for plane in xs.planes:
-                name = plane.name.lower()
-                is_dev = (
-                    "tpu" in name or "device" in name or "xla" in name
-                ) and "host" not in name
-                if device_only and not is_dev:
-                    continue
-                ev_meta = {
-                    m.id: m.name for m in plane.event_metadata.values()
-                }
-                for line in plane.lines:
-                    for ev in line.events:
-                        op = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
-                        us = ev.duration_ps / 1e6
-                        totals[op][0] += us
-                        totals[op][1] += 1
-        return totals
-
-    totals = collect(device_only=True)
-    if not totals:
-        totals = collect(device_only=False)  # e.g. CPU smoke runs
-    if not totals:
-        return None, f"{len(paths)} xplane files, no events"
-    rows = sorted(
-        ((op, t, c) for op, (t, c) in totals.items()),
-        key=lambda r: -r[1],
-    )[:top]
-    return rows, None
+from genomic_pca_tpu.utils.xplane import (  # noqa: E402
+    device_op_table as parse_xplane,
+    module_device_ms,
+)
 
 
 def main() -> int:
@@ -182,6 +125,15 @@ def main() -> int:
         for op, t, c in rows:
             print(f"  {t/1e3:9.3f} ms  x{c:<5d} {op[:80]}")
         print(f"  top-op device total: {total/1e3:.3f} ms over 2x{args.iters} iters")
+    mod_ms, n_mod, merr = module_device_ms(args.trace_dir)
+    if mod_ms is not None:
+        iters_total = 2 * args.iters
+        print(
+            f"  module-level device time: {mod_ms:.3f} ms / {n_mod} "
+            f"dispatches = {mod_ms/iters_total:.3f} ms/iter on-device"
+        )
+    else:
+        print(f"  (module-level device time unavailable: {merr})")
     return 0
 
 
