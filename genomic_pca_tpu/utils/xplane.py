@@ -87,6 +87,40 @@ def module_device_ms(trace_dir: str) -> Tuple[Optional[float], int, Optional[str
     return total_ps / 1e9, count, None
 
 
+def module_table(
+    trace_dir: str,
+) -> Tuple[Optional[List[Tuple[str, float, int]]], Optional[str]]:
+    """Per-module device totals -> [(module_name, total_ms, count)].
+
+    One 'XLA Modules' event per executed program: grouping by module
+    name separates the per-strip kernel program of a streaming pass
+    from the small finisher programs (quantize, QR), giving a direct
+    on-device ms/strip for the dominant module.
+    """
+    spaces, err = load_xspaces(trace_dir)
+    if spaces is None:
+        return None, err
+    totals = defaultdict(lambda: [0.0, 0])
+    for xs in spaces:
+        for plane in xs.planes:
+            if not _is_device_plane(plane.name):
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if line.name != "XLA Modules":
+                    continue
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                    totals[name][0] += ev.duration_ps / 1e9
+                    totals[name][1] += 1
+    if not totals:
+        return None, "no device 'XLA Modules' events"
+    rows = sorted(
+        ((nm, t, c) for nm, (t, c) in totals.items()), key=lambda r: -r[1]
+    )
+    return rows, None
+
+
 def device_op_table(
     trace_dir: str, top: int = 12
 ) -> Tuple[Optional[List[Tuple[str, float, int]]], Optional[str]]:
