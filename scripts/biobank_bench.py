@@ -1,0 +1,283 @@
+"""Biobank-scale end-to-end benchmark (r3 VERDICT #1 / BASELINE.md:29).
+
+Runs the FULL workflow — synthetic biobank BED -> QC -> EigenSNP PCA at
+k=40 — at a bigger-than-HBM shape (default 1,048,576 SNPs x 131,072
+samples: 34 GB BED, ~32 GB post-QC packed, forced through the
+host-streamed container with the 2-D q8 kernels), then certifies the
+output with:
+
+  1. a float64 Rayleigh-quotient residual per PC, streamed over the
+     full matrix on host (independent of every device kernel), and
+  2. a sample-subset oracle run: the framework on a block-aligned
+     SNP subset x a random sample keep-list vs exact float64 PCA,
+     per-PC |r|.
+
+The reference's I/O benchmark targets exactly this regime
+(/root/reference/tests/disk.py:10-28); the reference itself publishes
+no numbers (BASELINE.md).
+
+Stages and rates print for VALIDATION.md.  The fileset persists under
+--out-dir and regenerates only when missing (--regen to force).
+
+Usage:
+  python scripts/biobank_bench.py --out-dir /tmp/biobank          # full
+  python scripts/biobank_bench.py --skip-oracle --skip-residual   # run only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+log = logging.getLogger("biobank_bench")
+
+
+def generate(out_dir: Path, d: int, n: int, n_blocks: int, seed: int,
+             strip: int = 4096) -> None:
+    """Structured synthetic biobank fileset, written strip-by-strip.
+
+    64 populations with geometrically decaying drift (top ~40 PCs are
+    real structure over the bulk), HWE genotypes via two uint8
+    threshold draws, ~0.39% missing (r1 == r2), MAF in (0.02, 0.5).
+    """
+    from genomic_pca_tpu.io.bed import write_plink_stream
+
+    n_pops = 64
+    rng = np.random.default_rng(seed)
+    pop = rng.integers(0, n_pops, n)
+    # ~10% eigengap spacing between adjacent structure PCs: resolvable
+    # per-PC at biobank scale (signal-to-bulk f*sqrt(D*N) >> 1 even for
+    # the 64th population), unlike a flat-fst degenerate cluster.
+    fst_pop = 0.15 * (0.90 ** np.arange(n_pops)) + 0.005
+    t0 = time.perf_counter()
+
+    def strips():
+        for lo in range(0, d, strip):
+            rows = min(strip, d - lo)
+            p_anc = rng.uniform(0.05, 0.95, rows)
+            p_pop = np.empty((rows, n_pops), dtype=np.float32)
+            for j in range(n_pops):
+                fj = fst_pop[j]
+                p_pop[:, j] = rng.beta(
+                    p_anc * (1 - fj) / fj, (1 - p_anc) * (1 - fj) / fj
+                )
+            t = (p_pop[:, pop] * 256.0).astype(np.uint8)  # (rows, n)
+            r1 = rng.integers(0, 256, (rows, n), dtype=np.uint8)
+            r2 = rng.integers(0, 256, (rows, n), dtype=np.uint8)
+            g = ((r1 < t).astype(np.int8) + (r2 < t)).astype(np.int8)
+            g[r1 == r2] = -127  # ~1/256 missing
+            if lo % (64 * strip) == 0:
+                done = lo / d
+                el = time.perf_counter() - t0
+                eta = el / done - el if done else 0
+                print(f"  gen {lo}/{d} rows ({100*done:.0f}%, "
+                      f"{el:.0f}s elapsed, eta {eta:.0f}s)", flush=True)
+            yield g
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_plink_stream(
+        out_dir / "biobank", strips(), n,
+        bp=list(range(10, d * 10 + 10, 10)),
+    )
+    edges = np.linspace(0, d * 10 + 20, n_blocks + 1, dtype=np.int64)
+    with open(out_dir / "blocks.tsv", "w") as fh:
+        for i in range(n_blocks):
+            fh.write(f"1 {edges[i] + 1} {edges[i + 1]}\n")
+    print(f"  generated {d}x{n} in {time.perf_counter() - t0:.0f}s "
+          f"({(out_dir / 'biobank.bed').stat().st_size / 2**30:.1f} GB)",
+          flush=True)
+
+
+def run_workflow(out_dir: Path, k: int, prefix: str = "run") -> dict:
+    """Full BED -> QC -> EigenSNP k=40 workflow with stage timings."""
+    from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+    from genomic_pca_tpu.workflows import run_eigensnp_workflow
+
+    cfg = DataPrepConfig(
+        bed_path=str(out_dir / "biobank"),
+        ld_block_path=str(out_dir / "blocks.tsv"),
+    )
+    ecfg = EigenSnpConfig(k_global=k)
+    t0 = time.perf_counter()
+    run_eigensnp_workflow(cfg, ecfg, str(out_dir / prefix),
+                          write_moments=True)
+    wall = time.perf_counter() - t0
+    return {"wall_seconds": round(wall, 1)}
+
+
+def residual_certificate(out_dir: Path, prefix: str = "run",
+                         strip: int = 8192) -> dict:
+    """Float64 Rayleigh residual per PC over the FULL matrix, on host.
+
+    Reads the workflow's scores + moments, streams the BED once, and
+    computes r_j = ||G v_j - rho_j v_j|| / rho_j for the normalized
+    score directions v_j (G = X^T X, never materialized; rho_j = the
+    Rayleigh quotient).  Fully independent of the device kernels: BED
+    decode + f32 GEMM per strip with float64 inter-strip accumulation.
+    """
+    from genomic_pca_tpu.io.bed import BedReader
+    from genomic_pca_tpu.io.writers import read_moments
+
+    t0 = time.perf_counter()
+    with open(out_dir / f"{prefix}.eigensnp.pca.tsv") as fh:
+        fh.readline()
+        scores = np.asarray(
+            [ln.rstrip("\n").split("\t")[1:] for ln in fh], dtype=np.float64
+        )
+    ids, _a1, _a2, means, stds = read_moments(
+        out_dir / f"{prefix}.eigensnp.moments.tsv"
+    )
+    bed = BedReader(str(out_dir / "biobank"))
+    pos_of = {sid: i for i, sid in enumerate(bed.bim.sid)}
+    rows = np.asarray([pos_of[v] for v in ids], dtype=np.int64)
+    inv = np.where(stds > 0, 1.0 / np.where(stds > 0, stds, 1.0), 0.0)
+
+    v = scores / np.linalg.norm(scores, axis=0, keepdims=True)  # (N, k)
+    v32 = v.astype(np.float32)
+    n = scores.shape[0]
+    acc = np.zeros_like(v)  # G v, accumulated f64
+    cols = np.arange(n, dtype=np.int64)
+    for lo in range(0, len(rows), strip):
+        hi = min(lo + strip, len(rows))
+        g = bed.read(rows[lo:hi], cols)  # (s, N) int8
+        x = np.where(g != -127, g, means[lo:hi, None]).astype(np.float32)
+        x -= means[lo:hi, None].astype(np.float32)
+        x *= inv[lo:hi, None].astype(np.float32)
+        acc += (x.T @ (x @ v32)).astype(np.float64)
+        if lo % (16 * strip) == 0:
+            print(f"  residual pass {lo}/{len(rows)} rows "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    rho = (v * acc).sum(axis=0)  # Rayleigh quotients
+    res = np.linalg.norm(acc - v * rho, axis=0) / rho
+    return {
+        "residual_per_pc": [float(f"{r:.3e}") for r in res],
+        "max_residual": float(f"{res.max():.3e}"),
+        "rayleigh_eigenvalue_ratio_pc1": float(
+            f"{rho[0] / ((n - 1) * _read_eigenvalues(out_dir, prefix)[0]):.6f}"
+        ),
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+
+
+def _read_eigenvalues(out_dir: Path, prefix: str) -> np.ndarray:
+    with open(out_dir / f"{prefix}.eigenvalues.tsv") as fh:
+        fh.readline()
+        return np.asarray([ln.split("\t")[1] for ln in fh], dtype=np.float64)
+
+
+def subset_oracle(out_dir: Path, k: int, n_sub_blocks: int = 128,
+                  n_sub_samples: int = 8192, seed: int = 11) -> dict:
+    """Framework on a block-aligned SNP subset x a random sample
+    keep-list vs exact float64 PCA on the identical submatrix."""
+    from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+    from genomic_pca_tpu.io.bed import BedReader
+    from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
+    from genomic_pca_tpu.models.exact import exact_pca_from_strips
+    from genomic_pca_tpu.models.prepare import prepare_data
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(seed)
+    bed = BedReader(str(out_dir / "biobank"))
+    n_sub_samples = min(n_sub_samples, bed.n_samples)
+    keep = np.sort(rng.choice(bed.n_samples, n_sub_samples, replace=False))
+    keep_path = out_dir / "oracle_keep.txt"
+    with open(keep_path, "w") as fh:
+        for i in keep:
+            fh.write(f"sample{i}\n")
+    blocks = (out_dir / "blocks.tsv").read_text().splitlines()[:n_sub_blocks]
+    sub_blocks = out_dir / "oracle_blocks.tsv"
+    sub_blocks.write_text("\n".join(blocks) + "\n")
+
+    cfg = DataPrepConfig(
+        bed_path=str(out_dir / "biobank"),
+        ld_block_path=str(sub_blocks),
+        sample_keep_path=str(keep_path),
+    )
+    prep = prepare_data(cfg)
+    res = compute_eigensnp_pca(prep, EigenSnpConfig(k_global=k))
+
+    raw = bed.read(prep.pca_snp_orig_indices, prep.qc_sample_indices)
+    exact = exact_pca_from_strips(
+        iter([raw]), len(keep), k=k, config=cfg, scale=True, apply_qc=False
+    )
+    rr = [
+        abs(float(np.corrcoef(res.scores[:, j], exact.scores[:, j])[0, 1]))
+        for j in range(k)
+    ]
+    return {
+        "subset_snps": int(prep.n_pca_snps),
+        "subset_samples": int(len(keep)),
+        "per_pc_abs_r_min": float(f"{min(rr):.6f}"),
+        "per_pc_abs_r": [float(f"{r:.5f}") for r in rr],
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="/tmp/biobank")
+    ap.add_argument("--snps", type=int, default=1_048_576)
+    ap.add_argument("--samples", type=int, default=131_072)
+    ap.add_argument("--blocks", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=2025)
+    ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--generate-only", action="store_true")
+    ap.add_argument("--skip-run", action="store_true")
+    ap.add_argument("--skip-residual", action="store_true")
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s %(levelname)s %(name)s] %(message)s",
+        datefmt="%H:%M:%S",
+    )
+    out_dir = Path(args.out_dir)
+    summary: dict = {
+        "config": {
+            "snps": args.snps, "samples": args.samples, "k": args.k,
+            "ld_blocks": args.blocks,
+        }
+    }
+
+    bed = out_dir / "biobank.bed"
+    want = 3 + args.snps * ((args.samples + 3) // 4)
+    if args.regen or not bed.exists() or bed.stat().st_size != want:
+        print(f"generating {args.snps}x{args.samples} fileset...", flush=True)
+        generate(out_dir, args.snps, args.samples, args.blocks, args.seed)
+    else:
+        print("fileset present; skipping generation", flush=True)
+    if args.generate_only:
+        return 0
+
+    if not args.skip_run:
+        print("\n=== full workflow (BED -> QC -> EigenSNP k=%d) ===" % args.k,
+              flush=True)
+        summary["workflow"] = run_workflow(out_dir, args.k)
+        summary["workflow"]["snps_per_sec_e2e"] = round(
+            args.snps / summary["workflow"]["wall_seconds"], 1
+        )
+
+    if not args.skip_residual:
+        print("\n=== float64 Rayleigh residual certificate ===", flush=True)
+        summary["residual"] = residual_certificate(out_dir)
+
+    if not args.skip_oracle:
+        print("\n=== sample/SNP-subset oracle concordance ===", flush=True)
+        summary["oracle"] = subset_oracle(out_dir, args.k)
+
+    print("\n" + json.dumps(summary, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
