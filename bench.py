@@ -1,5 +1,11 @@
 """Benchmark: streamed standardized-genotype PCA throughput on one chip.
 
+`--biobank` runs the FULL biobank configuration instead (1M SNPs x
+131k samples through the streaming container, k=40 — the BASELINE.md
+driver-set config) via scripts/biobank_bench.py and prints ITS JSON
+line.  The default run includes a compact biobank e2e (wide-N k=40
+through the 2-D q8 kernels) in `detail.biobank_e2e`.
+
 Measures the hot loop of the framework — the quantized int8-MXU
 power-iteration pass (A^T A B) through the PRODUCTION container layout:
 PLINK 2-bit packed genotypes resident in HBM (the shape the EigenSNP
@@ -219,6 +225,42 @@ def main() -> None:
     except Exception as e:  # bench must still print its one line
         e2e = {"eigensnp_e2e_error": str(e)}
 
+    # Compact biobank e2e: wide-N k=40 full workflow (BED -> QC ->
+    # EigenSNP) at a shape that takes the 2-D q8 kernels (sample axis
+    # too wide for full-row VMEM tiles) — the BASELINE.md biobank
+    # config's composition at bench-budget size.  The full-scale run
+    # (1M x 131k, streaming) is `--biobank` / scripts/biobank_bench.py.
+    bio = {}
+    try:
+        import pathlib
+        import sys as _sys
+        import tempfile
+
+        _sys.path.insert(
+            0, str(pathlib.Path(__file__).resolve().parent / "scripts")
+        )
+        from biobank_bench import generate, run_workflow
+
+        d_bio, n_bio = (98_304, 49_152) if on_tpu else (8192, 1024)
+        bio_dir = pathlib.Path(
+            tempfile.gettempdir()) / f"gptpu_bench_bio_{d_bio}x{n_bio}"
+        bed = bio_dir / "biobank.bed"
+        want = 3 + d_bio * ((n_bio + 3) // 4)
+        if not bed.exists() or bed.stat().st_size != want:
+            generate(bio_dir, d_bio, n_bio, n_blocks=96, seed=7)
+        r = run_workflow(bio_dir, k=40, prefix="bench_run")
+        bio = {
+            "biobank_e2e_snps": d_bio,
+            "biobank_e2e_samples": n_bio,
+            "biobank_e2e_k": 40,
+            "biobank_e2e_seconds": r["wall_seconds"],
+            "biobank_e2e_snps_per_sec": round(
+                d_bio / r["wall_seconds"], 1
+            ),
+        }
+    except Exception as e:
+        bio = {"biobank_e2e_error": str(e)}
+
     # Reference-strategy baseline: numpy f64 centered Gram accumulation
     # (X^T X over a sample of strips), the oracle's inner loop.  Best of
     # 3 reps — the shared host's load varies run to run and a single
@@ -283,6 +325,42 @@ def main() -> None:
                     "(reference oracle inner loop) on this host",
                     "baseline_snps_per_sec": round(base_snps_per_sec, 1),
                     **e2e,
+                    **bio,
+                },
+            }
+        )
+    )
+
+
+def main_biobank() -> None:
+    """Full biobank config (BASELINE.md:29 class): 1M x 131k streaming
+    EigenSNP k=40 end-to-end; prints one JSON line."""
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parent / "scripts")
+    )
+    from biobank_bench import generate, run_workflow
+
+    d, n, k = 1_048_576, 131_072, 40
+    bio_dir = pathlib.Path("/tmp/biobank")
+    bed = bio_dir / "biobank.bed"
+    want = 3 + d * ((n + 3) // 4)
+    if not bed.exists() or bed.stat().st_size != want:
+        generate(bio_dir, d, n, n_blocks=1024, seed=2025)
+    r = run_workflow(bio_dir, k=k, prefix="bench_run")
+    print(
+        json.dumps(
+            {
+                "metric": "biobank_eigensnp_e2e_throughput",
+                "value": round(d / r["wall_seconds"], 1),
+                "unit": "SNPs/sec",
+                "vs_baseline": None,
+                "detail": {
+                    "n_snps": d, "n_samples": n, "k": k,
+                    "wall_seconds": r["wall_seconds"],
+                    "container": "host-streamed packed (bigger-than-HBM)",
                 },
             }
         )
@@ -290,4 +368,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--biobank" in _sys.argv:
+        main_biobank()
+    else:
+        main()

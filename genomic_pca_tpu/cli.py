@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default=None,
                    help="Capture a jax.profiler trace of the compute "
                         "stages to this directory (XProf/TensorBoard).")
+    p.add_argument("--eigensnp-compile-only", action="store_true",
+                   help="Seed the persistent compilation cache for this "
+                        "fileset's shape (QC + AOT-compile every device "
+                        "program) without running the PCA or writing "
+                        "outputs; the next real run starts fully warm.")
     p.add_argument("--eigensnp-checkpoint-dir", default=None,
                    help="Directory for stage checkpoint/resume on "
                         "preemptible capacity (extension over the "
@@ -282,6 +287,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     prep_cfg, algo_cfg, args.output_prefix,
                     checkpoint_dir=args.eigensnp_checkpoint_dir,
                     write_moments=args.write_moments,
+                    compile_only=args.eigensnp_compile_only,
                 )
         else:
             with maybe_trace(args.profile_dir):

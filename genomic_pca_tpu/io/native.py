@@ -45,7 +45,7 @@ def _resolve_threads(n_threads: int) -> int:
 
 
 # Must match plinkio_abi_version() in native/plinkio.cpp.
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -102,6 +102,19 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p,  # out (int32*, n_rows x 4)
     ]
     lib.plinkio_packed_qc_counts.restype = None
+    lib.plinkio_synth_pack.argtypes = [
+        ctypes.c_void_p,  # a_pop (uint8*, rows x n_pops)
+        ctypes.c_void_p,  # b_pop (uint8*, rows x n_pops)
+        ctypes.c_void_p,  # pop (uint8*, n_samples)
+        ctypes.c_int64,  # rows
+        ctypes.c_int64,  # n_samples
+        ctypes.c_int64,  # n_pops
+        ctypes.c_uint64,  # seed
+        ctypes.c_int64,  # row0
+        ctypes.c_int,  # n_threads
+        ctypes.c_void_p,  # out (uint8*, rows x ceil(n/4))
+    ]
+    lib.plinkio_synth_pack.restype = None
     return lib
 
 
@@ -299,3 +312,45 @@ def bgzf_inflate_native(
     if rc != 0:
         raise ValueError(f"BGZF inflate failed (native error code {rc})")
     return out.tobytes()
+
+
+def synth_pack_native(
+    a_pop: np.ndarray,
+    b_pop: np.ndarray,
+    pop: np.ndarray,
+    seed: int,
+    row0: int = 0,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Generate packed PLINK rows for the synthetic biobank model in ONE
+    native pass (PRNG + per-population thresholds + 2-bit pack), or None
+    if the library is unavailable (callers fall back to numpy with the
+    same model but a different RNG stream).
+
+    a_pop/b_pop: (rows, n_pops) uint8 thresholds (256 p^2 and
+    256 p(2-p), clamped to 255); pop: (n_samples,) uint8.  Output
+    (rows, ceil(n/4)) uint8.  Deterministic per (seed, row0 + row):
+    strip boundaries and thread counts cannot change the bytes.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    a_pop = np.ascontiguousarray(a_pop, dtype=np.uint8)
+    b_pop = np.ascontiguousarray(b_pop, dtype=np.uint8)
+    pop = np.ascontiguousarray(pop, dtype=np.uint8)
+    rows, n_pops = a_pop.shape
+    n_samples = len(pop)
+    out = np.empty((rows, (n_samples + 3) // 4), dtype=np.uint8)
+    lib.plinkio_synth_pack(
+        a_pop.ctypes.data,
+        b_pop.ctypes.data,
+        pop.ctypes.data,
+        ctypes.c_int64(rows),
+        ctypes.c_int64(n_samples),
+        ctypes.c_int64(n_pops),
+        ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
+        ctypes.c_int64(row0),
+        ctypes.c_int(_resolve_threads(n_threads)),
+        out.ctypes.data,
+    )
+    return out

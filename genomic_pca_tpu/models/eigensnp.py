@@ -664,7 +664,8 @@ def compute_eigensnp_pca(
     checkpoint_dir: Optional[str] = None,
     mesh=None,
     force_streaming: bool = False,
-) -> EigenSnpResult:
+    compile_only: bool = False,
+) -> Optional[EigenSnpResult]:
     """Run the full two-stage pipeline on prepared data.
 
     `checkpoint_dir` enables stage checkpoint/resume for preemptible
@@ -673,7 +674,11 @@ def compute_eigensnp_pca(
     all devices).  `force_streaming` takes the host-streamed container
     regardless of the HBM budget (what load_matrix would do
     automatically past it) — for validation and for pinning memory on
-    shared devices.
+    shared devices.  `compile_only` pre-seeds the persistent
+    compilation cache: every device program of this (shape, config)
+    AOT-compiles — the background plan runs to completion — and the
+    function returns None WITHOUT executing the algorithm; a later run
+    at the same shape starts with a fully warm cache.
     """
     from genomic_pca_tpu.utils.checkpoint import StageCheckpointer, fingerprint
 
@@ -782,6 +787,8 @@ def compute_eigensnp_pca(
     )
     import threading
 
+    aot_threads: List[threading.Thread] = []
+
     def _spawn(name, fn):
         def _run():
             try:
@@ -789,7 +796,9 @@ def compute_eigensnp_pca(
             except Exception:  # pragma: no cover - best-effort
                 log.debug("%s precompile failed", name, exc_info=True)
 
-        threading.Thread(target=_run, daemon=True, name=name).start()
+        t = threading.Thread(target=_run, daemon=True, name=name)
+        t.start()
+        aot_threads.append(t)
 
     # Abstract args must carry the SAME shardings the real calls will
     # see — the lowered module embeds sharding annotations, and a
@@ -890,6 +899,21 @@ def compute_eigensnp_pca(
                 jnp.zeros(perm_len, jnp.int32),
             ).compile(),
         )
+
+    if compile_only:
+        # First-run cache seeding: wait for the full AOT plan (every
+        # program lands in the persistent cache) and return without
+        # executing.  The matrix load + QC programs compiled above as a
+        # side effect of preparing the container.
+        t0c = _time.perf_counter()
+        for t in aot_threads:
+            t.join()
+        log.info(
+            "Compile-only: %d AOT program(s) compiled in %.1fs; "
+            "persistent cache seeded for shape (%d x %d, k=%d).",
+            len(aot_threads), _time.perf_counter() - t0c, d, n, k,
+        )
+        return None
 
     # ---- Stages 1+2: local bases -> condensed projection --------------
     # Blocks are grouped by (padded-bucket, c_b) and each group runs

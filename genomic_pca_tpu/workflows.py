@@ -206,12 +206,18 @@ def run_eigensnp_workflow(
     output_prefix: str,
     checkpoint_dir: Optional[str] = None,
     write_moments: bool = False,
+    compile_only: bool = False,
 ) -> None:
     """BED/LD-block -> QC -> two-stage EigenSNP PCA -> TSVs.
 
     Output files: `{prefix}.eigensnp.pca.tsv`, `{prefix}.eigenvalues.tsv`,
     `{prefix}.eigensnp.loadings.tsv`, and with diagnostics enabled
     `{prefix}.eigensnp_diagnostics.json` (main.rs:386-432).
+
+    `compile_only` seeds the persistent compilation cache for this
+    (fileset shape, config) without running the algorithm or writing
+    outputs — an install-/first-run-time warmer that makes the next
+    real run start with a fully warm cache.
     """
     timer = StageTimer()
     enable_persistent_cache()
@@ -223,8 +229,12 @@ def run_eigensnp_workflow(
 
     with timer.stage("EigenSNP core algorithm"):
         result = compute_eigensnp_pca(
-            prep, algo_config, checkpoint_dir=checkpoint_dir
+            prep, algo_config, checkpoint_dir=checkpoint_dir,
+            compile_only=compile_only,
         )
+    if compile_only:
+        timer.log_summary("EigenSNP compile-only stage timings")
+        return
 
     with timer.stage("Output writing"):
         # SPMD multi-process: every process computes, only process 0

@@ -64,8 +64,9 @@ extern "C" {
 // changes; the Python binding refuses to load a mismatched .so (a stale
 // library would otherwise misinterpret arguments and crash the
 // process).  History: 1 = initial; 2 = n_threads param added to
-// plinkio_parse_vcf_lines; 3 = plinkio_packed_qc_counts added.
-int64_t plinkio_abi_version() { return 3; }
+// plinkio_parse_vcf_lines; 3 = plinkio_packed_qc_counts added;
+// 4 = plinkio_synth_pack added.
+int64_t plinkio_abi_version() { return 4; }
 
 // Decode selected SNP rows of a SNP-major .bed byte block into int8
 // dosages (missing = -127).  `snp_offsets[i]` is the byte offset of row
@@ -487,6 +488,123 @@ void plinkio_packed_qc_counts(const uint8_t* packed,
     if (begin >= end) break;
     workers.emplace_back(qc_count_rows, packed, snp_offsets, begin, end,
                          n_samples, out);
+  }
+  for (auto& w : workers) w.join();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Synthetic packed-genotype strip generator (benchmark fixtures).
+//
+// Biobank-scale synthetic BEDs (34 GB class) are memory-bandwidth-bound
+// to generate; the numpy path (gather thresholds, draw bytes, compare,
+// pack) makes five+ passes over strip-sized buffers.  This fuses the
+// whole per-genotype pipeline — PRNG byte, two threshold lookups, PLINK
+// code, 2-bit pack — into ONE pass writing packed bytes directly.
+//
+// Model (HWE per population): genotype byte r ~ U[0,256); dosage 2
+// (code 00) if r < a[pop], het (code 10) if r < b[pop], else dosage 0
+// (code 11), with r == 255 remapped to missing (code 01), where
+// a = 256 p^2 and b = 256 p(2-p) clamped to 255.  Deterministic per
+// (seed, absolute row): thread count cannot change the output.
+
+namespace {
+
+inline uint64_t splitmix64(uint64_t& s) {
+  uint64_t z = (s += 0x9E3779B97F4A7C15ull);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+
+void synth_rows(const uint8_t* a_pop, const uint8_t* b_pop,
+                const uint8_t* pop, int64_t row_begin, int64_t row_end,
+                int64_t n_samples, int64_t n_pops, uint64_t seed,
+                int64_t row0, uint8_t* out) {
+  const int64_t bps = (n_samples + 3) / 4;
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    const uint8_t* ar = a_pop + r * n_pops;
+    const uint8_t* br = b_pop + r * n_pops;
+    uint8_t* dst = out + r * bps;
+    uint64_t state = seed ^ (0xD1B54A32D192ED03ull * (uint64_t)(row0 + r));
+    uint64_t rbuf = 0;
+    int have = 0;
+    int64_t s = 0;
+    for (; s + 4 <= n_samples; s += 4) {
+      uint8_t byte = 0;
+      for (int j = 0; j < 4; ++j) {
+        if (have == 0) {
+          rbuf = splitmix64(state);
+          have = 8;
+        }
+        uint8_t rv = (uint8_t)(rbuf & 0xFF);
+        rbuf >>= 8;
+        --have;
+        uint8_t p = pop[s + j];
+        uint8_t code;
+        if (rv < ar[p]) {
+          code = 0;  // dosage 2
+        } else if (rv < br[p]) {
+          code = 2;  // het
+        } else {
+          code = (rv == 255) ? 1 : 3;  // missing : dosage 0
+        }
+        byte |= (uint8_t)(code << (2 * j));
+      }
+      dst[s >> 2] = byte;
+    }
+    if (s < n_samples) {  // partial last byte: zero-filled tail (PLINK)
+      uint8_t byte = 0;
+      for (int j = 0; s + j < n_samples; ++j) {
+        if (have == 0) {
+          rbuf = splitmix64(state);
+          have = 8;
+        }
+        uint8_t rv = (uint8_t)(rbuf & 0xFF);
+        rbuf >>= 8;
+        --have;
+        uint8_t p = pop[s + j];
+        uint8_t code;
+        if (rv < ar[p]) {
+          code = 0;
+        } else if (rv < br[p]) {
+          code = 2;
+        } else {
+          code = (rv == 255) ? 1 : 3;
+        }
+        byte |= (uint8_t)(code << (2 * j));
+      }
+      dst[s >> 2] = byte;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Generate `rows` packed PLINK rows into out (rows x ceil(n/4)).
+// a_pop/b_pop: (rows, n_pops) uint8 thresholds; pop: (n_samples,) uint8
+// population of each sample; row0: absolute index of the first row (for
+// strip-invariant determinism).  Parallel over rows.
+void plinkio_synth_pack(const uint8_t* a_pop, const uint8_t* b_pop,
+                        const uint8_t* pop, int64_t rows, int64_t n_samples,
+                        int64_t n_pops, uint64_t seed, int64_t row0,
+                        int n_threads, uint8_t* out) {
+  if (n_threads <= 1 || rows < 64) {
+    synth_rows(a_pop, b_pop, pop, 0, rows, n_samples, n_pops, seed, row0,
+               out);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t chunk = (rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t begin = t * chunk;
+    int64_t end = std::min(rows, begin + chunk);
+    if (begin >= end) break;
+    workers.emplace_back(synth_rows, a_pop, b_pop, pop, begin, end,
+                         n_samples, n_pops, seed, row0, out);
   }
   for (auto& w : workers) w.join();
 }

@@ -42,51 +42,89 @@ log = logging.getLogger("biobank_bench")
 
 def generate(out_dir: Path, d: int, n: int, n_blocks: int, seed: int,
              strip: int = 4096) -> None:
-    """Structured synthetic biobank fileset, written strip-by-strip.
+    """Structured synthetic biobank fileset, written strip-by-strip
+    DIRECTLY as packed PLINK codes (no int8 intermediate — the
+    34 GB-scale fileset is memory-bandwidth-bound to generate, so
+    everything stays uint8: one RNG byte per genotype, per-(SNP, pop)
+    threshold tables gathered per sample).
 
     64 populations with geometrically decaying drift (top ~40 PCs are
-    real structure over the bulk), HWE genotypes via two uint8
-    threshold draws, ~0.39% missing (r1 == r2), MAF in (0.02, 0.5).
+    real structure over the bulk; ~10% eigengap spacing — resolvable
+    per-PC at biobank scale where signal-to-bulk f*sqrt(D*N) >> 1,
+    unlike a flat-fst degenerate cluster).  HWE genotypes from a single
+    uniform byte r: hom-alt if r < 256 p^2, het if < 256 p(2-p); the
+    r == 255 slice (~0.39%) becomes missing.  MAF in (0.05, 0.5).
     """
-    from genomic_pca_tpu.io.bed import write_plink_stream
-
     n_pops = 64
     rng = np.random.default_rng(seed)
     pop = rng.integers(0, n_pops, n)
-    # ~10% eigengap spacing between adjacent structure PCs: resolvable
-    # per-PC at biobank scale (signal-to-bulk f*sqrt(D*N) >> 1 even for
-    # the 64th population), unlike a flat-fst degenerate cluster.
     fst_pop = 0.15 * (0.90 ** np.arange(n_pops)) + 0.005
     t0 = time.perf_counter()
+    if n % 4:
+        raise ValueError("generator requires n_samples % 4 == 0")
 
-    def strips():
+    from genomic_pca_tpu.io.native import synth_pack_native
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "biobank.bed", "wb") as fh:
+        fh.write(b"\x6c\x1b\x01")
         for lo in range(0, d, strip):
             rows = min(strip, d - lo)
             p_anc = rng.uniform(0.05, 0.95, rows)
-            p_pop = np.empty((rows, n_pops), dtype=np.float32)
+            p_pop = np.empty((rows, n_pops), dtype=np.float64)
             for j in range(n_pops):
                 fj = fst_pop[j]
                 p_pop[:, j] = rng.beta(
                     p_anc * (1 - fj) / fj, (1 - p_anc) * (1 - fj) / fj
                 )
-            t = (p_pop[:, pop] * 256.0).astype(np.uint8)  # (rows, n)
-            r1 = rng.integers(0, 256, (rows, n), dtype=np.uint8)
-            r2 = rng.integers(0, 256, (rows, n), dtype=np.uint8)
-            g = ((r1 < t).astype(np.int8) + (r2 < t)).astype(np.int8)
-            g[r1 == r2] = -127  # ~1/256 missing
-            if lo % (64 * strip) == 0:
+            # Per-(SNP, pop) byte thresholds (tiny f64 math).
+            a_pop = np.minimum(p_pop * p_pop * 256.0, 255).astype(np.uint8)
+            b_pop = np.minimum(
+                p_pop * (2.0 - p_pop) * 256.0, 255
+            ).astype(np.uint8)
+            # Native single-pass PRNG + threshold + 2-bit pack (the
+            # 34 GB-class fileset is bandwidth-bound; the numpy path
+            # below makes 5+ strip-sized passes).
+            packed = synth_pack_native(
+                a_pop, b_pop, pop.astype(np.uint8), seed=seed, row0=lo
+            )
+            if packed is None:  # numpy fallback, same model
+                a = a_pop[:, pop]
+                b = b_pop[:, pop]
+                r = rng.integers(0, 256, (rows, n), dtype=np.uint8)
+                # PLINK codes (count_A1): 00 = dosage 2 (r < a),
+                # 10 = het (a <= r < b), 11 = dosage 0 (r >= b),
+                # 01 = missing (r == 255, subset of r >= b since b < 256)
+                code = (r >= a).astype(np.uint8)
+                code <<= 1
+                code += r >= b
+                code -= (r == 255).astype(np.uint8) << 1
+                packed = (
+                    code[:, 0::4]
+                    | (code[:, 1::4] << 2)
+                    | (code[:, 2::4] << 4)
+                    | (code[:, 3::4] << 6)
+                )
+            fh.write(packed.tobytes())
+            if lo % (32 * strip) == 0 and lo:
                 done = lo / d
                 el = time.perf_counter() - t0
-                eta = el / done - el if done else 0
-                print(f"  gen {lo}/{d} rows ({100*done:.0f}%, "
-                      f"{el:.0f}s elapsed, eta {eta:.0f}s)", flush=True)
-            yield g
+                print(f"  gen {lo}/{d} rows ({100*done:.0f}%, {el:.0f}s "
+                      f"elapsed, eta {el/done - el:.0f}s)", flush=True)
 
-    out_dir.mkdir(parents=True, exist_ok=True)
-    write_plink_stream(
-        out_dir / "biobank", strips(), n,
-        bp=list(range(10, d * 10 + 10, 10)),
-    )
+    with open(out_dir / "biobank.bim", "w") as fh:
+        chunk = 250_000
+        for lo in range(0, d, chunk):
+            hi = min(lo + chunk, d)
+            fh.write("".join(
+                f"1\tsnp{i}\t0\t{10 * i + 10}\tA\tC\n" for i in range(lo, hi)
+            ))
+    with open(out_dir / "biobank.fam", "w") as fh:
+        for lo in range(0, n, 250_000):
+            hi = min(lo + 250_000, n)
+            fh.write("".join(
+                f"sample{i}\tsample{i}\t0\t0\t0\t-9\n" for i in range(lo, hi)
+            ))
     edges = np.linspace(0, d * 10 + 20, n_blocks + 1, dtype=np.int64)
     with open(out_dir / "blocks.tsv", "w") as fh:
         for i in range(n_blocks):

@@ -499,3 +499,22 @@ def test_eigensnp_on_streaming_matrix_matches_resident(tmp_path, rng):
         assert abs(r) > 0.9999, (j, r)
         rl = np.corrcoef(r_stream.loadings[:, j], r_resident.loadings[:, j])[0, 1]
         assert abs(rl) > 0.9999, (j, rl)
+
+
+def test_compile_only_seeds_without_running(tmp_path, rng):
+    """compile_only AOT-compiles the program set and returns None
+    without executing; outputs are not written; a subsequent real run
+    at the same shape works normally."""
+    from genomic_pca_tpu.workflows import run_eigensnp_workflow
+
+    geno, prefix, cfg = _setup(tmp_path, rng, n_snps=300, n_samples=50)
+    algo = EigenSnpConfig(k_global=3, min_subset_size=10, snp_strip_size=128)
+    prep = prepare_data(cfg)
+    assert compute_eigensnp_pca(prep, algo, compile_only=True) is None
+
+    out = tmp_path / "co"
+    run_eigensnp_workflow(cfg, algo, str(out), compile_only=True)
+    assert not (tmp_path / "co.eigensnp.pca.tsv").exists()
+
+    run_eigensnp_workflow(cfg, algo, str(out))
+    assert (tmp_path / "co.eigensnp.pca.tsv").exists()
