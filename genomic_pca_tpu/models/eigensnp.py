@@ -626,12 +626,26 @@ def _stages12_host(
             return fetch_batch(chunk, bucket, chunk_b, None)
 
         depth = 2  # chunks in flight beyond the current dispatch
+        window = 6  # dispatched-but-unconfirmed chunks before a fence
         with ThreadPoolExecutor(depth) as ex:
             futs = [ex.submit(_fetch_task, t) for t in tasks[:depth]]
             for i, (bucket, c_b, chunk, chunk_b) in enumerate(tasks):
                 fetched = futs[i].result()
                 if i + depth < len(tasks):
                     futs.append(ex.submit(_fetch_task, tasks[i + depth]))
+                if i >= window and i % window == 0:
+                    # Backpressure: force execution (and input-buffer
+                    # release) through chunk i - window before enqueuing
+                    # more — unbounded async enqueue piles every chunk's
+                    # uploaded input into device/relay buffers
+                    # (observed ResourceExhausted at genome block
+                    # counts).  The fence fetches a tiny (B, c_b)
+                    # singular-value block — a true host sync, ~bytes —
+                    # once per window, bounding in-flight chunks to
+                    # ~2x window without serializing every dispatch.
+                    _fence = parts[i - window][3]
+                    if _fence is not None:
+                        np.asarray(_fence[:1, :1])
                 keys = _stage_keys(cfg, chunk, chunk_b)
                 if packed:
                     pk8, mean, inv = fetched
