@@ -279,6 +279,37 @@ def _finish_parts_prog(us, ss, outs, perm, n: int):
     return _finish_parts_jit(n)(us, ss, outs, perm)
 
 
+@functools.lru_cache(maxsize=None)
+def _y_update_jit():
+    """Donated row-block update of the condensed matrix: the (C, N)
+    buffer is written in place per chunk, so per-chunk projection
+    outputs never accumulate and no concat transient exists (the
+    one-shot gather assembly peaks at 3x (C, N) device bytes at genome
+    block counts — observed ResourceExhausted on shared-HBM pools)."""
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=0)
+    def upd(y, o, r0):
+        return jax.lax.dynamic_update_slice(y, o, (r0, jnp.int32(0)))
+
+    return upd
+
+
+@functools.lru_cache(maxsize=None)
+def _finish_us_jit():
+    """Flatten every base / singular-value batch into ONE transfer each
+    (per-chunk fetches would pay a relay round trip per chunk)."""
+
+    @jax.jit
+    def run(us, ss):
+        return (
+            jnp.concatenate([u.reshape(-1) for u in us]),
+            jnp.concatenate([s.reshape(-1) for s in ss]),
+        )
+
+    return run
+
+
 def _assemble_condensed(parts, n: int, n_blocks: int):
     """Shared stage-1+2 finisher: fetch all bases/singular values in ONE
     flattened transfer each, and assemble the condensed matrix on device
@@ -625,6 +656,22 @@ def _stages12_host(
                 return fetch_raw(chunk, bucket, chunk_b)
             return fetch_batch(chunk, bucket, chunk_b, None)
 
+        # Incremental condensed assembly: each chunk's projection rows
+        # land in ONE preallocated (C_total, n) buffer via donated
+        # in-place updates, in block order.  Outs never accumulate and
+        # the finisher has no multi-GB concat/gather transient.
+        row0_of: Dict[int, int] = {}
+        cursor = 0
+        for b_idx, block in enumerate(prep.blocks):
+            c_b0 = min(
+                cfg.components_per_block, len(block.pca_snp_ids),
+                len(subset),
+            )
+            row0_of[b_idx] = cursor
+            cursor += c_b0
+        y_dev = jnp.zeros((cursor, n), dtype=jnp.float32)
+        y_upd = _y_update_jit()
+
         depth = 2  # chunks in flight beyond the current dispatch
         window = 6  # dispatched-but-unconfirmed chunks before a fence
         with ThreadPoolExecutor(depth) as ex:
@@ -666,11 +713,30 @@ def _stages12_host(
                         jnp.asarray(subset, dtype=jnp.int32),
                         keys,
                     )
-                parts.append((list(chunk), c_b, u_batch, s_batch, out))
+                for j, b_idx in enumerate(chunk):
+                    y_dev = y_upd(
+                        y_dev, out[j, :, :n], jnp.int32(row0_of[b_idx])
+                    )
+                parts.append((list(chunk), c_b, u_batch, s_batch, None))
 
-        bases, svals, y = _assemble_condensed(parts, n, len(prep.blocks))
+        u_flat, s_flat = _finish_us_jit()(
+            [p[2] for p in parts], [p[3] for p in parts]
+        )
+        u_flat = np.asarray(u_flat)
+        s_flat = np.asarray(s_flat)
+        bases: Dict[int, np.ndarray] = {}
+        svals: Dict[int, np.ndarray] = {}
+        u_ofs = s_ofs = 0
+        for chunk, _c_b, u_dev, s_dev, _out in parts:
+            u_np = u_flat[u_ofs : u_ofs + u_dev.size].reshape(u_dev.shape)
+            s_np = s_flat[s_ofs : s_ofs + s_dev.size].reshape(s_dev.shape)
+            u_ofs += u_dev.size
+            s_ofs += s_dev.size
+            for j, b_idx in enumerate(chunk):
+                bases[b_idx] = u_np[j]
+                svals[b_idx] = s_np[j]
         local_bases = [bases[i] for i in range(len(prep.blocks))]
-        return local_bases, svals, y
+        return local_bases, svals, y_dev
 
     # Checkpoint resume: stage 2 only — project ALL samples through the
     # saved bases, batched by base shape.
