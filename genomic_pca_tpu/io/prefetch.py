@@ -97,6 +97,7 @@ class StripPrefetcher:
         self._controller: Optional[threading.Thread] = None
         self._waits_at_eval = 0
         self._window = collections.deque(maxlen=256)  # (t, bytes)
+        self._window_lock = threading.Lock()
 
     # ---- worker machinery -------------------------------------------
     def _claim(self) -> Optional[int]:
@@ -134,7 +135,8 @@ class StripPrefetcher:
                 self._results[i] = (payload, err)
                 self.telemetry.bytes_total += nbytes
                 self.telemetry.strips_total += 1
-                self._window.append((time.monotonic(), nbytes))
+                with self._window_lock:
+                    self._window.append((time.monotonic(), nbytes))
                 self._results_lock.notify_all()
 
     def _ensure_workers(self) -> None:
@@ -281,7 +283,12 @@ class StripPrefetcher:
     def throughput_bps(self, window_s: float = 8.0) -> float:
         """Windowed bytes/sec (reference: 8 s window, prepare.rs:753-770)."""
         now = time.monotonic()
-        pts = [(t, b) for t, b in self._window if now - t <= window_s]
+        # Snapshot under the lock: worker appends during iteration raise
+        # "deque mutated during iteration" and kill the controller
+        # thread (observed at biobank scale).
+        with self._window_lock:
+            snap = list(self._window)
+        pts = [(t, b) for t, b in snap if now - t <= window_s]
         if not pts:
             return 0.0
         span = max(now - pts[0][0], 1e-6)
