@@ -343,7 +343,12 @@ def main_biobank() -> None:
     )
     from biobank_bench import generate, run_workflow
 
-    d, n, k = 1_048_576, 131_072, 40
+    # 102,400 samples (>= the 100k-sample biobank class): this relay
+    # environment mirrors every uploaded buffer in host RAM without
+    # freeing (see scripts/biobank_bench.py docstring), so the three
+    # full-matrix passes of the workflow are budgeted by host RAM —
+    # 3 x 25.6 GB fits; 3 x 34 GB (131k samples) OOMs the host.
+    d, n, k = 1_048_576, 102_400, 40
     bio_dir = pathlib.Path("/tmp/biobank")
     bed = bio_dir / "biobank.bed"
     want = 3 + d * ((n + 3) // 4)

@@ -16,6 +16,18 @@ The reference's I/O benchmark targets exactly this regime
 (/root/reference/tests/disk.py:10-28); the reference itself publishes
 no numbers (BASELINE.md).
 
+Environment note (relay backends): the tunneled single-chip backend
+used for validation mirrors every uploaded device buffer in host RAM
+and does not release the mirrors on deletion (measured: RSS grows 1:1
+with cumulative uploads), so a run's TOTAL uploaded bytes — three
+full-matrix passes: stage 1+2, the refinement pass, and the fused
+tsq+capture pass — must fit host RAM.  On a 125 GB host that caps the
+packed matrix near 26 GB/pass; `--samples 102400` (the default run
+below) fits, 131072 does not.  Real TPU hosts stream through pinned
+buffers and have no such cap.  Additionally, device_put from worker
+threads leaks on this backend (never freed): all uploads go through
+the main thread.
+
 Stages and rates print for VALIDATION.md.  The fileset persists under
 --out-dir and regenerates only when missing (--regen to force).
 
@@ -139,9 +151,15 @@ def run_workflow(out_dir: Path, k: int, prefix: str = "run") -> dict:
     from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
     from genomic_pca_tpu.workflows import run_eigensnp_workflow
 
+    # max_hwe_p=1.0 disables the HWE filter: the cohort is deliberately
+    # structured (64 populations), and pooled-sample HWE at N=131k
+    # rejects exactly the differentiated SNPs (Wahlund effect) — real
+    # mixed-ancestry pipelines HWE-filter within ancestry, which this
+    # synthetic benchmark has no labels for.
     cfg = DataPrepConfig(
         bed_path=str(out_dir / "biobank"),
         ld_block_path=str(out_dir / "blocks.tsv"),
+        max_hwe_p=1.0,
     )
     ecfg = EigenSnpConfig(k_global=k)
     t0 = time.perf_counter()
@@ -238,6 +256,7 @@ def subset_oracle(out_dir: Path, k: int, n_sub_blocks: int = 128,
         bed_path=str(out_dir / "biobank"),
         ld_block_path=str(sub_blocks),
         sample_keep_path=str(keep_path),
+        max_hwe_p=1.0,  # structured cohort; see run_workflow
     )
     prep = prepare_data(cfg)
     res = compute_eigensnp_pca(prep, EigenSnpConfig(k_global=k))
