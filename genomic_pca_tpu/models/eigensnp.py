@@ -44,7 +44,9 @@ from genomic_pca_tpu.errors import ComputeError
 from genomic_pca_tpu.models.pca import lane_fill_width
 from genomic_pca_tpu.models.prepare import PreparedData
 from genomic_pca_tpu.ops.rsvd import rsvd
-from genomic_pca_tpu.utils.rng import key_for_stage
+from genomic_pca_tpu.utils.rng import (
+    key_for_stage, key_from_words, seed_words,
+)
 
 log = logging.getLogger(__name__)
 
@@ -149,7 +151,8 @@ def _fused_stage12_device_prog(
     impl = _slice_blocks_packed_impl if packed else _slice_blocks_impl
 
     @jax.jit
-    def run(geno, mean, inv, starts, lens, subset_idx, keys):
+    def run(geno, mean, inv, starts, lens, subset_idx, kwords, units):
+        keys = _unit_keys(kwords, units)
         xs_full = impl(geno, mean, inv, starts, lens, None, bucket)
         if full_cols:
             xs_sub = xs_full[:, :, : subset_idx.shape[0]]
@@ -187,7 +190,8 @@ def _fused_stage12_host_packed_prog(
     traffic."""
 
     @jax.jit
-    def run(pk8, mean, inv, subset_idx, keys):
+    def run(pk8, mean, inv, subset_idx, kwords, units):
+        keys = _unit_keys(kwords, units)
         xs_full = _standardize_packed_stack(pk8, mean, inv, n_cols)
         if full_cols:
             xs_sub = xs_full
@@ -217,7 +221,8 @@ def _fused_stage12_host_dense_prog(
     device (saves the separate subset-width upload)."""
 
     @jax.jit
-    def run(xs_full, subset_idx, keys):
+    def run(xs_full, subset_idx, kwords, units):
+        keys = _unit_keys(kwords, units)
         xs_sub = (
             xs_full if full_cols else jnp.take(xs_full, subset_idx, axis=2)
         )
@@ -236,15 +241,38 @@ def _fused_stage12_host_dense_prog(
     return run
 
 
+def _unit_keys(kwords, units) -> jax.Array:
+    """In-program per-unit sketch keys from raw seed words (trace-safe;
+    unit 0 is the bare stage key, used for batch padding).  Same values
+    as the scalar `key_for_stage(seed, "eigensnp_local_sketch", unit=u)`
+    convention — deriving keys inside the fused programs keeps the
+    eager `jax.random.key`/`fold_in` op compiles (a remote round-trip
+    each, cold) off the critical path entirely."""
+    stage_key = key_from_words(kwords, "eigensnp_local_sketch")
+
+    def one(u):
+        return jax.lax.cond(
+            u != 0,
+            lambda: jax.random.fold_in(stage_key, u),
+            lambda: stage_key,
+        )
+
+    return jax.vmap(one)(units)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "n_os", "n_pi", "ell_ref")
 )
-def _global_basis_prog(y, gkey, fkey, k, n_os, n_pi, ell_ref):
+def _global_basis_prog(y, kwords, k, n_os, n_pi, ell_ref):
     """Stage-2 global rSVD + lane-fill widening as ONE program: rsvd of
     the condensed matrix, orthonormal score basis, random widening to
     the refinement width, final QR.  (Previously ~6 separate small
-    programs — each a relay round-trip on cold start.)"""
+    programs — each a relay round-trip on cold start.)  Takes raw seed
+    words; the sketch/fill keys derive in-program (no eager key-op
+    compiles on the cold path)."""
     n = y.shape[1]
+    gkey = key_from_words(kwords, "eigensnp_global_sketch")
+    fkey = key_from_words(kwords, "eigensnp_refine_fill")
     _, _, vt_g = rsvd(y, gkey, k=k, n_oversamples=n_os, n_power_iter=n_pi)
     s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k)
     if ell_ref > k:
@@ -289,8 +317,14 @@ def _y_update_jit():
     import functools as _ft
 
     @_ft.partial(jax.jit, donate_argnums=0)
-    def upd(y, o, r0):
-        return jax.lax.dynamic_update_slice(y, o, (r0, jnp.int32(0)))
+    def upd(y, o, j, r0):
+        # Select + trim the chunk's j-th block INSIDE the program: an
+        # eager `o[j, :, :n]` would compile one slice program per
+        # distinct j on the cold path.
+        rows = jax.lax.dynamic_index_in_dim(
+            o, j, axis=0, keepdims=False
+        )[:, : y.shape[1]]
+        return jax.lax.dynamic_update_slice(y, rows, (r0, jnp.int32(0)))
 
     return upd
 
@@ -339,11 +373,13 @@ def _assemble_condensed(parts, n: int, n_blocks: int):
         ]
     )
 
+    # perm passes as numpy: jit transfers it at dispatch with no eager
+    # convert program (and it matches the precompile's np.zeros aval).
     u_flat, s_flat, y = _finish_parts_prog(
         [p[2] for p in with_s],
         [p[3] for p in with_s],
         [p[4] for p in parts],
-        jnp.asarray(perm),
+        perm,
         n,
     )
     if with_s:
@@ -394,9 +430,18 @@ def _choose_sample_subset(cfg: EigenSnpConfig, n_samples: int) -> np.ndarray:
     n_subset = cfg.subset_size(n_samples)
     if n_subset >= n_samples:
         return np.arange(n_samples, dtype=np.int64)
-    key = key_for_stage(cfg.seed, "eigensnp_sample_subset")
-    perm = np.asarray(jax.random.permutation(key, n_samples))
+    perm = np.asarray(_subset_perm_prog(seed_words(cfg.seed), n_samples))
     return np.sort(perm[:n_subset]).astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def _subset_perm_prog(kwords, n_samples: int):
+    """Sample-subset permutation as ONE program (same values as the
+    previous eager `key_for_stage` + `jax.random.permutation` chain,
+    which cost ~3 cold compiles)."""
+    return jax.random.permutation(
+        key_from_words(kwords, "eigensnp_sample_subset"), n_samples
+    )
 
 
 def _blocks_as_runs(blocks) -> Optional[np.ndarray]:
@@ -417,30 +462,12 @@ def _blocks_as_runs(blocks) -> Optional[np.ndarray]:
     return runs
 
 
-@jax.jit
-def _stage_keys_prog(stage_key: jax.Array, units: jax.Array) -> jax.Array:
-    """Batched per-unit key fold-in (ONE program for every chunk; same
-    values as the scalar `key_for_stage(..., unit=u)` convention —
-    unit 0 is the bare stage key, used for batch padding)."""
-
-    def one(u):
-        return jax.lax.cond(
-            u != 0,
-            lambda: jax.random.fold_in(stage_key, u),
-            lambda: stage_key,
-        )
-
-    return jax.vmap(one)(units)
-
-
-def _stage_keys(cfg: EigenSnpConfig, chunk: List[int], chunk_b: int) -> jax.Array:
-    """Per-block sketch keys (same fold-in as the scalar host path)."""
+def _stage_units(chunk: List[int], chunk_b: int) -> np.ndarray:
+    """Host-side per-block unit ids feeding `_unit_keys` inside the
+    fused programs (unit 0 = bare stage key, used for batch padding)."""
     units = np.zeros(chunk_b, dtype=np.int32)
     units[: len(chunk)] = np.asarray(chunk, dtype=np.int32) + 1
-    return _stage_keys_prog(
-        key_for_stage(cfg.seed, "eigensnp_local_sketch"),
-        jnp.asarray(units),
-    )
+    return units
 
 
 def _stages12_device(
@@ -469,7 +496,10 @@ def _stages12_device(
         bucket = min(_bucket_rows(d_b), a.d_pad)
         groups.setdefault((bucket, c_b), []).append(b_idx)
 
-    subset_dev = jnp.asarray(subset, dtype=jnp.int32)
+    # device_put (a pure transfer) rather than jnp.asarray (whose eager
+    # dtype-convert is a compiled program — one cold remote round-trip).
+    subset_dev = jax.device_put(np.asarray(subset, dtype=np.int32))
+    kwords = seed_words(cfg.seed)
     full_cols = len(subset) >= n  # subset == all samples: reuse the full fetch
     budget_elems = _STAGE12_BUDGET_ELEMS
     saved: Dict[int, np.ndarray] = {}
@@ -507,12 +537,15 @@ def _stages12_device(
                     cfg.local_oversampling, cfg.local_power_iter, full_cols,
                 )
                 mstarts = a.translate_row_runs(starts, lens)
+                # Small integer operands pass as numpy: jit transfers
+                # them at dispatch with NO eager convert compile.
                 u_batch, s_batch, out = run(
                     a.geno, a.mean, a.inv_std,
-                    jnp.asarray(mstarts, dtype=jnp.int32),
-                    jnp.asarray(lens, dtype=jnp.int32),
+                    np.asarray(mstarts, dtype=np.int32),
+                    np.asarray(lens, dtype=np.int32),
                     subset_dev,
-                    _stage_keys(cfg, chunk, chunk_b),
+                    kwords,
+                    _stage_units(chunk, chunk_b),
                 )
                 out_parts.append((list(chunk), c_b, u_batch, s_batch, out))
         return out_parts
@@ -558,9 +591,10 @@ def _stages12_host(
     Returns (local_bases, svals or None, y device (C, N))."""
     n = prep.n_samples
     packed = getattr(prep, "supports_packed_blocks", False)
-    subset_dev = (
-        jnp.asarray(subset, dtype=jnp.int32) if packed else None
-    )
+    # device_put (pure transfer) rather than jnp.asarray (whose eager
+    # dtype-convert is a compiled program — one cold remote round-trip).
+    subset_dev = jax.device_put(np.asarray(subset, dtype=np.int32))
+    kwords = seed_words(cfg.seed)
 
     def fetch_batch(chunk: List[int], bucket: int, chunk_b: int, cols):
         """(chunk_b, bucket, C) f32 standardized batch on device.
@@ -693,7 +727,7 @@ def _stages12_host(
                     _fence = parts[i - window][3]
                     if _fence is not None:
                         np.asarray(_fence[:1, :1])
-                keys = _stage_keys(cfg, chunk, chunk_b)
+                units = _stage_units(chunk, chunk_b)
                 if packed:
                     pk8, mean, inv = fetched
                     run = _fused_stage12_host_packed_prog(
@@ -701,7 +735,7 @@ def _stages12_host(
                         n, full_cols,
                     )
                     u_batch, s_batch, out = run(
-                        pk8, mean, inv, subset_dev, keys
+                        pk8, mean, inv, subset_dev, kwords, units
                     )
                 else:
                     run = _fused_stage12_host_dense_prog(
@@ -709,13 +743,11 @@ def _stages12_host(
                         full_cols,
                     )
                     u_batch, s_batch, out = run(
-                        fetched,
-                        jnp.asarray(subset, dtype=jnp.int32),
-                        keys,
+                        fetched, subset_dev, kwords, units
                     )
                 for j, b_idx in enumerate(chunk):
                     y_dev = y_upd(
-                        y_dev, out[j, :, :n], jnp.int32(row0_of[b_idx])
+                        y_dev, out, np.int32(j), np.int32(row0_of[b_idx])
                     )
                 parts.append((list(chunk), c_b, u_batch, s_batch, None))
 
@@ -917,38 +949,11 @@ def compute_eigensnp_pca(
 
     def rep_sh3(a_):
         return NamedSharding(a_.mesh, P(None, None, None))
-    if use_pca_core and rep_sh is not None:
-        _spawn(
-            "precompile-pca-core",
-            lambda: a._pca_core_k.lower(
-                a.geno, a.mean, a.inv_std,
-                jax.ShapeDtypeStruct(
-                    (n, ell_ref), jnp.float32, sharding=rep_sh
-                ),
-                cfg.refine_passes, k, None,
-            ).compile(),
-        )
-    if not ckpt.enabled and rep_sh is not None:
-        # Stage-2 global program: its condensed input shape (C, N) is
-        # known before stage 1 runs (sum of per-block component counts).
-        subset_n = len(_choose_sample_subset(cfg, n))
-        c_total_pre = sum(
-            min(cfg.components_per_block, len(b.pca_snp_ids), subset_n)
-            for b in prep.blocks
-        )
-        k_pre = min(k, c_total_pre)
-        _spawn(
-            "precompile-global-basis",
-            lambda: _global_basis_prog.lower(
-                jax.ShapeDtypeStruct(
-                    (c_total_pre, n), jnp.float32, sharding=rep_sh
-                ),
-                key_for_stage(cfg.seed, "eigensnp_global_sketch"),
-                key_for_stage(cfg.seed, "eigensnp_refine_fill"),
-                k=k_pre, n_os=cfg.global_oversampling,
-                n_pi=cfg.global_power_iter, ell_ref=ell_ref,
-            ).compile(),
-        )
+
+    # Spawn order = need order (finish-parts -> global-basis ->
+    # pca-core): the remote compile service largely serializes requests,
+    # so the program the main thread will block on FIRST must be at the
+    # head of its queue.
     if not ckpt.enabled and rep_sh is not None and use_device:
         # The stage-1 fetch-side assembly program (_finish_parts_jit):
         # its whole signature follows from the group plan, and on the
@@ -958,29 +963,7 @@ def compute_eigensnp_pca(
         # pool) instead of serially after them.
         subset_pre = _choose_sample_subset(cfg, n)
         plan = _device_group_plan(a, prep, cfg, subset_pre)
-        # The fused group programs themselves: the main thread reaches
-        # the first one within a second or two, but a head-started
-        # background lower().compile() of the SAME lru-cached jit
-        # function turns that first use into (at worst) a concurrent
-        # duplicate compile and (at best) a cache hit — and for runs
-        # with several groups it is pure overlap.
         full_cols_pre = len(subset_pre) >= n
-        subset_pre_dev = jnp.asarray(subset_pre, dtype=jnp.int32)
-        for bucket, c_b, _n_blocks, chunk_b in plan:
-            runp = _fused_stage12_device_prog(
-                a.packed, bucket, c_b, cfg.local_oversampling,
-                cfg.local_power_iter, full_cols_pre,
-            )
-            _spawn(
-                f"precompile-stage12-{bucket}-{c_b}",
-                lambda runp=runp, chunk_b=chunk_b: runp.lower(
-                    a.geno, a.mean, a.inv_std,
-                    jnp.zeros(chunk_b, jnp.int32),
-                    jnp.zeros(chunk_b, jnp.int32),
-                    subset_pre_dev,
-                    _stage_keys(cfg, [], chunk_b),
-                ).compile(),
-            )
         u_sds, s_sds, o_sds = [], [], []
         perm_len = 0
         for bucket, c_b, n_blocks, chunk_b in plan:
@@ -1001,9 +984,69 @@ def compute_eigensnp_pca(
             "precompile-finish-parts",
             lambda: _finish_parts_jit(n).lower(
                 u_sds, s_sds, o_sds,
-                jnp.zeros(perm_len, jnp.int32),
+                np.zeros(perm_len, np.int32),
             ).compile(),
         )
+    if not ckpt.enabled and rep_sh is not None:
+        # Stage-2 global program: its condensed input shape (C, N) is
+        # known before stage 1 runs (sum of per-block component counts).
+        subset_n = len(_choose_sample_subset(cfg, n))
+        c_total_pre = sum(
+            min(cfg.components_per_block, len(b.pca_snp_ids), subset_n)
+            for b in prep.blocks
+        )
+        k_pre = min(k, c_total_pre)
+        _spawn(
+            "precompile-global-basis",
+            lambda: _global_basis_prog.lower(
+                jax.ShapeDtypeStruct(
+                    (c_total_pre, n), jnp.float32, sharding=rep_sh
+                ),
+                seed_words(cfg.seed),
+                k=k_pre, n_os=cfg.global_oversampling,
+                n_pi=cfg.global_power_iter, ell_ref=ell_ref,
+            ).compile(),
+        )
+    if use_pca_core and rep_sh is not None:
+        _spawn(
+            "precompile-pca-core",
+            lambda: a._pca_core_k.lower(
+                a.geno, a.mean, a.inv_std,
+                jax.ShapeDtypeStruct(
+                    (n, ell_ref), jnp.float32, sharding=rep_sh
+                ),
+                cfg.refine_passes, k, None,
+            ).compile(),
+        )
+    if (
+        compile_only
+        and not ckpt.enabled and rep_sh is not None and use_device
+    ):
+        # The fused stage-1+2 group programs: ONLY for compile_only cache
+        # seeding.  In a normal run the main thread reaches the first
+        # group well inside these programs' compile time, so a racing
+        # background compile of the same program is pure duplicate load
+        # on the (mostly serialized) compile service — it makes cold
+        # starts slower, not faster.
+        subset_pre_dev = jax.device_put(
+            np.asarray(subset_pre, dtype=np.int32)
+        )
+        for bucket, c_b, _n_blocks, chunk_b in plan:
+            runp = _fused_stage12_device_prog(
+                a.packed, bucket, c_b, cfg.local_oversampling,
+                cfg.local_power_iter, full_cols_pre,
+            )
+            _spawn(
+                f"precompile-stage12-{bucket}-{c_b}",
+                lambda runp=runp, chunk_b=chunk_b: runp.lower(
+                    a.geno, a.mean, a.inv_std,
+                    np.zeros(chunk_b, np.int32),
+                    np.zeros(chunk_b, np.int32),
+                    subset_pre_dev,
+                    seed_words(cfg.seed),
+                    _stage_units([], chunk_b),
+                ).compile(),
+            )
 
     if compile_only:
         # First-run cache seeding: wait for the full AOT plan (every
@@ -1135,17 +1178,18 @@ def compute_eigensnp_pca(
         )
         k = c_total
 
-    gkey = key_for_stage(cfg.seed, "eigensnp_global_sketch")
-    fkey = key_for_stage(cfg.seed, "eigensnp_refine_fill")
     saved = ckpt.load("stage2_basis")
     if saved is None and not ckpt.enabled:
-        # Global rSVD + lane-fill widening as ONE compiled program.
+        # Global rSVD + lane-fill widening as ONE compiled program (the
+        # sketch/fill keys derive in-program from the raw seed words).
         s_basis = _global_basis_prog(
-            y, gkey, fkey, k=k,
+            y, seed_words(cfg.seed), k=k,
             n_os=cfg.global_oversampling, n_pi=cfg.global_power_iter,
             ell_ref=ell_ref,
         )
     else:
+        gkey = key_for_stage(cfg.seed, "eigensnp_global_sketch")
+        fkey = key_for_stage(cfg.seed, "eigensnp_refine_fill")
         # Checkpoint runs keep the decomposed path so the k-wide stage-2
         # basis is a saveable/resumable artifact.
         if saved is not None:
@@ -1187,10 +1231,15 @@ def compute_eigensnp_pca(
         v_k, sigma_k, evals_k, loadings = a.pca_core(
             s_basis, cfg.refine_passes, k
         )
-        scores = np.asarray(v_k * sigma_k[None, :], dtype=np.float32)
-        loadings = loadings.astype(np.float32)
+        # Finalization math on HOST (the arrays download anyway): eager
+        # device multiply/convert here each cost a cold remote compile.
+        sigma_np = np.asarray(sigma_k)
+        scores = (
+            np.asarray(v_k) * sigma_np[None, :]
+        ).astype(np.float32)
+        loadings = np.asarray(loadings).astype(np.float32)
         eigenvalues = np.asarray(evals_k, dtype=np.float64) / max(n - 1, 1)
-        sigma = sigma_k
+        sigma = sigma_np
     else:
         start_pass = 0
         for p in reversed(range(cfg.refine_passes)):

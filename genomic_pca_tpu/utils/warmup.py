@@ -45,10 +45,16 @@ def warm_backend_async() -> threading.Thread:
         def _touch() -> None:
             t0 = time.perf_counter()
             try:
+                import jax
                 import jax.numpy as jnp
                 import numpy as np
 
-                np.asarray(jnp.zeros((8, 128), jnp.float32) + 1.0)
+                # ONE jitted program (eager zeros + add would compile
+                # two separate op programs — each a cold remote
+                # round-trip on the compile service).
+                np.asarray(
+                    jax.jit(lambda: jnp.zeros((8, 128), jnp.float32) + 1.0)()
+                )
                 log.debug(
                     "Backend warm-up finished in %.1fs",
                     time.perf_counter() - t0,

@@ -46,6 +46,35 @@ def test_rng_fold_in_determinism():
     assert jax.random.key_data(k1).tolist() != jax.random.key_data(k3).tolist()
 
 
+def test_seed_words_bit_equivalence():
+    """`seed_words`/`key_from_words` must reproduce the eager
+    `jax.random.key` + `fold_in` bits exactly (incl. the x32 seed
+    truncation) — the cold path derives all EigenSNP keys in-program
+    from these words (VALIDATION.md round 4)."""
+    import jax
+    import numpy as np
+
+    from genomic_pca_tpu.utils.rng import (
+        key_for_stage, key_from_words, seed_words,
+    )
+
+    for seed in (0, 1, 2025, 2**31, 2**31 + 7, 2**40 + 123, -1, -12345):
+        ref = np.asarray(jax.random.key_data(jax.random.key(seed)))
+        assert np.array_equal(ref, seed_words(seed)), seed
+
+        stage_ref = np.asarray(
+            jax.random.key_data(key_for_stage(seed, "eigensnp_global_sketch"))
+        )
+        got = np.asarray(
+            jax.random.key_data(
+                jax.jit(
+                    lambda w: key_from_words(w, "eigensnp_global_sketch")
+                )(seed_words(seed))
+            )
+        )
+        assert np.array_equal(stage_ref, got), seed
+
+
 def test_rlimit_preflight_logs(caplog):
     from genomic_pca_tpu.utils.system import preflight, rlimit_soft
 
