@@ -24,6 +24,7 @@ every FLOP is an MXU matmul over the fused-standardized strips.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Optional
 
@@ -33,11 +34,20 @@ import numpy as np
 
 from genomic_pca_tpu.errors import ComputeError
 from genomic_pca_tpu.ops.operator import StandardizedOperator
-from genomic_pca_tpu.utils.rng import key_for_stage
+from genomic_pca_tpu.utils.rng import key_from_words, seed_words
 
 log = logging.getLogger(__name__)
 
 MXU_LANES = 128
+
+
+@functools.partial(jax.jit, static_argnames=("n", "ell"))
+def _sketch_prog(kwords, n: int, ell: int):
+    """rfit's Gaussian sketch as ONE program: the key derives in-program
+    from raw seed words (the previous eager `key_for_stage` +
+    `jax.random.normal` chain cost ~3 cold remote compiles; same bits)."""
+    key = key_from_words(kwords, "rfit_sketch")
+    return jax.random.normal(key, (n, ell), dtype=jnp.float32)
 
 
 def lane_fill_width(ell: int, n: int, d: int) -> int:
@@ -117,8 +127,7 @@ def streamed_pca(
     if lane_fill:
         ell = lane_fill_width(ell, n, d)
 
-    key = key_for_stage(seed if seed is not None else 0, "rfit_sketch")
-    b = jax.random.normal(key, (n, ell), dtype=jnp.float32)
+    b = _sketch_prog(seed_words(seed if seed is not None else 0), n, ell)
 
     n_iter = max(n_power_iter, 1)
     n_done = n_iter
@@ -135,10 +144,13 @@ def streamed_pca(
                     "rfit tolerance %.3g reached after %d / %d power "
                     "iterations.", tolerance, n_done, n_iter,
                 )
+        # Finalization math on HOST (the arrays download anyway): an
+        # eager device multiply here costs a cold remote compile.
+        sigma_np = np.asarray(sigma_k)
         return PcaResult(
-            scores=np.asarray(v_k * sigma_k[None, :]),
+            scores=np.asarray(v_k) * sigma_np[None, :],
             eigenvalues=np.asarray(evals_k) / max(n - 1, 1),
-            singular_values=np.asarray(sigma_k),
+            singular_values=sigma_np,
             loadings=loadings_full if compute_loadings else None,
             k=k,
             n_iter_done=n_done,
