@@ -8,8 +8,12 @@ depth vs live actors and keeping an 8 s throughput history ring fed by
 per-task byte metrics (prepare.rs:733-861, 247-254).  Here the same
 structure keeps the compute engine fed:
 
-* N worker threads fetch strips (disk decode) and `jax.device_put` them
-  so host I/O and device compute overlap (double/triple buffering).
+* N worker threads fetch strips (disk decode + padding) as HOST
+  payloads so host I/O and device compute overlap (double/triple
+  buffering).  The `jax.device_put` happens on the CONSUMER thread —
+  uploads issued from worker threads are never freed on relayed
+  backends, and the async enqueue overlaps the wire transfer with the
+  previous strip's compute anyway.
 * A controller thread evaluates every `eval_interval_s` with a
   `cooldown_s` after each action (the reference's 750 ms / 2 s pair,
   scaled to strip latencies which are milliseconds here, not disk
@@ -58,9 +62,10 @@ class PrefetchTelemetry:
 class StripPrefetcher:
     """Ordered prefetching iterator over `fetch(i) for i in range(n)`.
 
-    `fetch` runs on worker threads and should return the device-ready
-    payload (typically after `jax.device_put`) plus its host byte count.
-    Results are delivered strictly in order.
+    `fetch` runs on worker threads and should return a HOST-side
+    payload plus its host byte count (keep `jax.device_put` on the
+    consumer side — worker-thread uploads are never freed on relayed
+    backends).  Results are delivered strictly in order.
     """
 
     def __init__(

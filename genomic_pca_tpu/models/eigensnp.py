@@ -648,6 +648,11 @@ def _stages12_host(
         # ~1 s round trip on relayed backends) — bases and singular
         # values return in one flattened transfer each at the end.
         def fetch_raw(chunk, bucket, chunk_b):
+            """HOST-side only (runs on prefetch worker threads): mmap
+            gather + stack.  The device upload happens on the MAIN
+            thread — uploads issued from worker threads are never freed
+            on relayed backends (measured; see scripts/biobank_bench.py
+            environment note)."""
             raws, ms, ivs = zip(
                 *(
                     prep.fetch_block_packed(
@@ -661,11 +666,7 @@ def _stages12_host(
                 raws.append(np.full_like(raws[0], 0x55))
                 ms.append(np.zeros_like(ms[0]))
                 ivs.append(np.zeros_like(ivs[0]))
-            return (
-                jnp.asarray(np.stack(raws)),
-                jnp.asarray(np.stack(ms)),
-                jnp.asarray(np.stack(ivs)),
-            )
+            return (np.stack(raws), np.stack(ms), np.stack(ivs))
 
         # Flatten (group, chunk) work items so the HOST side (mmap
         # gather + stack + upload enqueue) double-buffers ahead of the
@@ -685,10 +686,21 @@ def _stages12_host(
         from concurrent.futures import ThreadPoolExecutor
 
         def _fetch_task(t):
+            """HOST-side gather only — the device transfer happens at
+            dispatch time on the main thread (worker-thread uploads are
+            never freed on relayed backends)."""
             bucket, _c_b, chunk, chunk_b = t
             if packed:
                 return fetch_raw(chunk, bucket, chunk_b)
-            return fetch_batch(chunk, bucket, chunk_b, None)
+            xs = [
+                prep.fetch_block_standardized(
+                    prep.blocks[i].pca_snp_ids, None, pad_rows_to=bucket
+                )
+                for i in chunk
+            ]
+            while len(xs) < chunk_b:  # batch padding: inert zero blocks
+                xs.append(np.zeros_like(xs[0]))
+            return np.stack(xs)
 
         # Incremental condensed assembly: each chunk's projection rows
         # land in ONE preallocated (C_total, n) buffer via donated
@@ -712,6 +724,11 @@ def _stages12_host(
             futs = [ex.submit(_fetch_task, t) for t in tasks[:depth]]
             for i, (bucket, c_b, chunk, chunk_b) in enumerate(tasks):
                 fetched = futs[i].result()
+                # Drop the Future: it retains its result, and at genome
+                # chunk counts the retained per-chunk upload buffers sum
+                # to more than HBM (observed ResourceExhausted ~300
+                # chunks into a 512-chunk biobank stage 1).
+                futs[i] = None
                 if i + depth < len(tasks):
                     futs.append(ex.submit(_fetch_task, tasks[i + depth]))
                 if i >= window and i % window == 0:

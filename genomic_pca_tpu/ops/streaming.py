@@ -203,15 +203,13 @@ class StreamingMatrix:
             g = np.pad(g, ((0, pad), (0, 0)), constant_values=fill)
             m = np.pad(m, (0, pad))
             inv = np.pad(inv, (0, pad))  # inv_std = 0: inert rows
-        dev = self.devices[i % len(self.devices)]
-        payload = (
-            jax.device_put(g, dev),
-            jax.device_put(m.reshape(-1, 1), dev),
-            jax.device_put(inv.reshape(-1, 1), dev),
-        )
-        return payload, g.nbytes
+        # HOST payload only: the device upload happens on the CONSUMER
+        # (main) thread in `_prefetcher` — uploads issued from worker
+        # threads are never freed on relayed backends, which at biobank
+        # scale leaks a full matrix pass into device memory.
+        return (g, m.reshape(-1, 1), inv.reshape(-1, 1)), g.nbytes
 
-    def _prefetcher(self) -> StripPrefetcher:
+    def _prefetcher(self):
         p = StripPrefetcher(
             self._fetch,
             self.n_strips,
@@ -219,7 +217,19 @@ class StreamingMatrix:
             max_workers=self.prefetch_workers,
         )
         self.last_telemetry = p.telemetry
-        return p
+
+        def _uploaded():
+            for i, (g, m, inv) in enumerate(p):
+                dev = self.devices[i % len(self.devices)]
+                # device_put enqueues asynchronously: strip i+1's wire
+                # transfer overlaps strip i's compute via the stream.
+                yield (
+                    jax.device_put(g, dev),
+                    jax.device_put(m, dev),
+                    jax.device_put(inv, dev),
+                )
+
+        return _uploaded()
 
     def _pad_b(self, b: jax.Array) -> jax.Array:
         n, ell = b.shape

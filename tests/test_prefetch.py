@@ -343,11 +343,18 @@ def test_streaming_strips_round_robin_across_devices(tmp_path, rng):
     sm_single = prep.load_streaming_matrix(strip_size=64, devices=devs[:1])
     assert len(sm_multi.devices) == len(devs)
 
-    # Strip i commits to device i mod D.
-    (g0, _m0, _iv0), _ = sm_multi._fetch(0)
-    (g1, _m1, _iv1), _ = sm_multi._fetch(1)
+    # _fetch returns HOST payloads (worker-thread uploads leak on
+    # relayed backends); the consumer-side generator commits strip i to
+    # device i mod D.
+    (g0h, _m0, _iv0), _ = sm_multi._fetch(0)
+    assert isinstance(g0h, np.ndarray)
+    it = sm_multi._prefetcher()
+    g0, _, _ = next(it)
+    g1, _, _ = next(it)
     assert list(g0.devices())[0] == devs[0]
     assert list(g1.devices())[0] == devs[1]
+    for _ in it:  # drain so worker threads retire cleanly
+        pass
 
     b = jnp.asarray(rng.standard_normal((prep.n_samples, 5)).astype(np.float32))
     np.testing.assert_allclose(
