@@ -125,6 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "fileset's shape (QC + AOT-compile every device "
                         "program) without running the PCA or writing "
                         "outputs; the next real run starts fully warm.")
+    p.add_argument("--eigensnp-stop-after-checkpoint", default=None,
+                   metavar="NAME",
+                   help="With --eigensnp-checkpoint-dir: exit cleanly "
+                        "right after the named checkpoint (stage1_bases, "
+                        "stage2_basis, refine_pass_<p>) is saved; a later "
+                        "run with the same checkpoint dir resumes there. "
+                        "For scheduled preemption and for bounding one "
+                        "process's memory footprint.")
     p.add_argument("--eigensnp-checkpoint-dir", default=None,
                    help="Directory for stage checkpoint/resume on "
                         "preemptible capacity (extension over the "
@@ -288,6 +296,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     checkpoint_dir=args.eigensnp_checkpoint_dir,
                     write_moments=args.write_moments,
                     compile_only=args.eigensnp_compile_only,
+                    stop_after_checkpoint=(
+                        args.eigensnp_stop_after_checkpoint
+                    ),
                 )
         else:
             with maybe_trace(args.profile_dir):

@@ -811,6 +811,17 @@ def _stages12_host(
     return local_bases, None, y
 
 
+def _ckpt_stop(ckpt, name: str, stop_after: Optional[str]) -> bool:
+    """True when the run should exit after saving checkpoint `name`."""
+    if stop_after != name:
+        return False
+    log.info(
+        "EigenSNP stopping after checkpoint %r (stop_after_checkpoint); "
+        "re-run with the same checkpoint dir to resume.", name,
+    )
+    return True
+
+
 def compute_eigensnp_pca(
     prep: PreparedData,
     cfg: EigenSnpConfig,
@@ -819,11 +830,19 @@ def compute_eigensnp_pca(
     mesh=None,
     force_streaming: bool = False,
     compile_only: bool = False,
+    stop_after_checkpoint: Optional[str] = None,
 ) -> Optional[EigenSnpResult]:
     """Run the full two-stage pipeline on prepared data.
 
     `checkpoint_dir` enables stage checkpoint/resume for preemptible
     runs (utils/checkpoint.py — capability absent in the reference).
+    `stop_after_checkpoint` (requires `checkpoint_dir`) exits cleanly —
+    returning None — right after the named checkpoint
+    (`stage1_bases`, `stage2_basis`, `refine_pass_<p>`) is saved: for
+    scheduled preemption, and for bounding a single process's footprint
+    on backends whose clients retain a host mirror per device upload
+    (a later invocation resumes where this one stopped, and a resume
+    that finds `stage2_basis` skips BOTH stage-1/2 matrix passes).
     `mesh` overrides the device mesh the matrix loads onto (default:
     all devices).  `force_streaming` takes the host-streamed container
     regardless of the HBM budget (what load_matrix would do
@@ -847,6 +866,20 @@ def compute_eigensnp_pca(
         checkpoint_dir,
         fingerprint(cfg, n, d, [b.tag for b in prep.blocks]),
     )
+    if stop_after_checkpoint is not None:
+        if not ckpt.enabled:
+            raise ComputeError(
+                "stop_after_checkpoint requires a checkpoint_dir "
+                "(--eigensnp-checkpoint-dir)."
+            )
+        valid = {"stage1_bases", "stage2_basis"} | {
+            f"refine_pass_{p}" for p in range(cfg.refine_passes)
+        }
+        if stop_after_checkpoint not in valid:
+            raise ComputeError(
+                f"stop_after_checkpoint {stop_after_checkpoint!r} is not "
+                f"a checkpoint of this run (have {sorted(valid)})."
+            )
 
     # diagnostic_block_tag implies collection (it writes INTO the
     # diagnostics JSON) — the Option<> sub-field relationship of the
@@ -1088,26 +1121,50 @@ def compute_eigensnp_pca(
     # rows are exactly zero, so U keeps exact zero rows there; batch
     # padding uses zero blocks whose outputs are discarded.
     subset = _choose_sample_subset(cfg, n)
-    saved = ckpt.load("stage1_bases")
-    saved_bases: Optional[List[np.ndarray]] = None
-    if saved is not None and len(saved) == len(prep.blocks):
-        saved_bases = [saved[f"block_{i}"] for i in range(len(prep.blocks))]
-    else:
+    if ckpt.load("stage2_basis") is not None and diag is None:
+        # Resume past stage 2: the only stage-1/2 products consumed
+        # downstream are the condensed matrix (feeds the global PCA,
+        # already checkpointed) and diagnostics detail — so skip BOTH
+        # full-matrix passes of stages 1+2 entirely.  On streamed
+        # bigger-than-memory runs this makes each resume leg a
+        # single-pass process (matters on preemptible capacity AND on
+        # relay backends whose clients retain a host mirror per upload).
+        local_bases, svals = None, None
+        y = None
+        c_total_skip = sum(
+            min(cfg.components_per_block, len(b.pca_snp_ids), len(subset))
+            for b in prep.blocks
+        )
         log.info(
-            "EigenSNP stage 1: %d blocks, sample subset %d / %d.",
-            len(prep.blocks),
-            len(subset),
-            n,
-        )
-
-    if use_device:
-        local_bases, svals, y = _stages12_device(
-            a, prep, cfg, subset, runs, saved_bases
+            "EigenSNP stages 1+2 skipped (stage2_basis checkpoint "
+            "present; condensed rank %d).", c_total_skip,
         )
     else:
-        local_bases, svals, y = _stages12_host(prep, cfg, subset, saved_bases)
+        c_total_skip = None
+        saved = ckpt.load("stage1_bases")
+        saved_bases: Optional[List[np.ndarray]] = None
+        if saved is not None and len(saved) == len(prep.blocks):
+            saved_bases = [
+                saved[f"block_{i}"] for i in range(len(prep.blocks))
+            ]
+        else:
+            log.info(
+                "EigenSNP stage 1: %d blocks, sample subset %d / %d.",
+                len(prep.blocks),
+                len(subset),
+                n,
+            )
 
-    if saved_bases is None:
+        if use_device:
+            local_bases, svals, y = _stages12_device(
+                a, prep, cfg, subset, runs, saved_bases
+            )
+        else:
+            local_bases, svals, y = _stages12_host(
+                prep, cfg, subset, saved_bases
+            )
+
+    if y is not None and saved_bases is None:
         if diag is not None and svals is not None:
             for b_idx, block in enumerate(prep.blocks):
                 d_b = len(block.pca_snp_ids)
@@ -1128,6 +1185,8 @@ def compute_eigensnp_pca(
             "stage1_bases",
             {f"block_{i}": u for i, u in enumerate(local_bases)},
         )
+        if _ckpt_stop(ckpt, "stage1_bases", stop_after_checkpoint):
+            return None
     if diag is not None and cfg.diagnostic_block_tag is not None:
         # Deep trace of ONE selected block's full stage-1 intermediates
         # (diagnostic_block_list_id_to_trace analog, main.rs:326):
@@ -1164,11 +1223,12 @@ def compute_eigensnp_pca(
             ).tolist(),
         }
     stage_seconds["stages_1_2"] = _time.perf_counter() - _t_stage
-    log.info(
-        "EigenSNP stages 1+2: condensed matrix %s in %.1fs.",
-        tuple(y.shape),
-        stage_seconds["stages_1_2"],
-    )
+    if y is not None:
+        log.info(
+            "EigenSNP stages 1+2: condensed matrix %s in %.1fs.",
+            tuple(y.shape),
+            stage_seconds["stages_1_2"],
+        )
     _t_stage = _time.perf_counter()
 
     condensed_spectrum: Optional[np.ndarray] = None
@@ -1183,7 +1243,7 @@ def compute_eigensnp_pca(
         sp = jnp.sqrt(jnp.maximum(jnp.linalg.eigvalsh(gram_small), 0.0))
         condensed_spectrum = np.asarray(sp)[::-1].copy()
 
-    c_total = int(y.shape[0])
+    c_total = int(y.shape[0]) if y is not None else int(c_total_skip)
     if c_total < k:
         log.warning(
             "Condensed feature rank %d < requested k_global %d; "
@@ -1221,6 +1281,8 @@ def compute_eigensnp_pca(
             )
             s_basis, _ = jnp.linalg.qr(vt_g.T)  # (N, k) score basis
             ckpt.save("stage2_basis", {"s_basis": np.asarray(s_basis)})
+            if _ckpt_stop(ckpt, "stage2_basis", stop_after_checkpoint):
+                return None
         if ell_ref > int(s_basis.shape[1]):
             extra = jax.random.normal(
                 fkey, (n, ell_ref - int(s_basis.shape[1])), dtype=jnp.float32
@@ -1283,6 +1345,8 @@ def compute_eigensnp_pca(
             log.info(
                 "EigenSNP refinement pass %d/%d done.", p + 1, cfg.refine_passes
             )
+            if _ckpt_stop(ckpt, f"refine_pass_{p}", stop_after_checkpoint):
+                return None
 
         # Streaming containers fuse the condensed Gram with an A B
         # capture: loadings are (A B) W / sigma, so the separate

@@ -207,6 +207,7 @@ def run_eigensnp_workflow(
     checkpoint_dir: Optional[str] = None,
     write_moments: bool = False,
     compile_only: bool = False,
+    stop_after_checkpoint: Optional[str] = None,
 ) -> None:
     """BED/LD-block -> QC -> two-stage EigenSNP PCA -> TSVs.
 
@@ -231,9 +232,14 @@ def run_eigensnp_workflow(
         result = compute_eigensnp_pca(
             prep, algo_config, checkpoint_dir=checkpoint_dir,
             compile_only=compile_only,
+            stop_after_checkpoint=stop_after_checkpoint,
         )
-    if compile_only:
-        timer.log_summary("EigenSNP compile-only stage timings")
+    if compile_only or (stop_after_checkpoint is not None and result is None):
+        timer.log_summary(
+            "EigenSNP compile-only stage timings" if compile_only
+            else "EigenSNP partial-run stage timings (stopped after "
+                 f"checkpoint {stop_after_checkpoint!r})"
+        )
         return
 
     with timer.stage("Output writing"):

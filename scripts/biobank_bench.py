@@ -146,27 +146,77 @@ def generate(out_dir: Path, d: int, n: int, n_blocks: int, seed: int,
           flush=True)
 
 
-def run_workflow(out_dir: Path, k: int, prefix: str = "run") -> dict:
-    """Full BED -> QC -> EigenSNP k=40 workflow with stage timings."""
-    from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
-    from genomic_pca_tpu.workflows import run_eigensnp_workflow
+def run_workflow(out_dir: Path, k: int, prefix: str = "run",
+                 split: bool = True) -> dict:
+    """Full BED -> QC -> EigenSNP k=40 workflow with stage timings.
 
+    `split=True` (default) runs the workflow as THREE checkpointed CLI
+    invocations — stage 1+2 / refinement pass / capture+outputs — one
+    full-matrix pass per OS process.  Numerically identical to the
+    monolithic run (tests/test_checkpoint.py chain test); required on
+    relay backends whose IFRT-proxy client retains a host mirror of
+    EVERY device upload for the life of the process (measured: +64 MB
+    RSS per 64 MB upload, never freed — the monolithic run's three
+    passes OOM-killed a 125 GB host at 1M x 102k).  Real TPU hosts can
+    run `split=False`.
+    """
     # max_hwe_p=1.0 disables the HWE filter: the cohort is deliberately
     # structured (64 populations), and pooled-sample HWE at N=131k
     # rejects exactly the differentiated SNPs (Wahlund effect) — real
     # mixed-ancestry pipelines HWE-filter within ancestry, which this
     # synthetic benchmark has no labels for.
-    cfg = DataPrepConfig(
-        bed_path=str(out_dir / "biobank"),
-        ld_block_path=str(out_dir / "blocks.tsv"),
-        max_hwe_p=1.0,
-    )
-    ecfg = EigenSnpConfig(k_global=k)
     t0 = time.perf_counter()
-    run_eigensnp_workflow(cfg, ecfg, str(out_dir / prefix),
-                          write_moments=True)
-    wall = time.perf_counter() - t0
-    return {"wall_seconds": round(wall, 1)}
+    if not split:
+        from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+        from genomic_pca_tpu.workflows import run_eigensnp_workflow
+
+        cfg = DataPrepConfig(
+            bed_path=str(out_dir / "biobank"),
+            ld_block_path=str(out_dir / "blocks.tsv"),
+            max_hwe_p=1.0,
+        )
+        ecfg = EigenSnpConfig(k_global=k)
+        run_eigensnp_workflow(cfg, ecfg, str(out_dir / prefix),
+                              write_moments=True)
+        return {"wall_seconds": round(time.perf_counter() - t0, 1)}
+
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    ck = out_dir / "ckpt"
+    base = [
+        sys.executable, "-m", "genomic_pca_tpu", "--eigensnp",
+        "--bed-file", str(out_dir / "biobank"),
+        "--ld-block-file", str(out_dir / "blocks.tsv"),
+        "-o", str(out_dir / prefix),
+        "--eigensnp-k-global", str(k),
+        "--eigensnp-max-hwe-p", "1.0",
+        "--eigensnp-checkpoint-dir", str(ck),
+        "--write-moments", "--log-level", "Info",
+    ]
+    legs = [
+        ("stages_1_2+global", ["--eigensnp-stop-after-checkpoint",
+                               "stage2_basis"]),
+        ("refinement_pass", ["--eigensnp-stop-after-checkpoint",
+                             "refine_pass_0"]),
+        ("capture+outputs", []),
+    ]
+    leg_walls = {}
+    for name, extra in legs:
+        t1 = time.perf_counter()
+        print(f"  [leg] {name} ...", flush=True)
+        r = subprocess.run(base + extra, cwd=str(repo))
+        if r.returncode != 0:
+            raise RuntimeError(f"workflow leg {name!r} failed "
+                               f"(exit {r.returncode})")
+        leg_walls[name] = round(time.perf_counter() - t1, 1)
+        print(f"  [leg] {name} done in {leg_walls[name]}s", flush=True)
+    return {
+        "wall_seconds": round(time.perf_counter() - t0, 1),
+        "legs": leg_walls,
+        "composition": "3-process checkpointed (one matrix pass per "
+                       "process; relay host-mirror bound)",
+    }
 
 
 def residual_certificate(out_dir: Path, prefix: str = "run",

@@ -66,6 +66,50 @@ def test_eigensnp_resume_identical(tmp_path, rng):
     )
 
 
+def test_eigensnp_stop_after_checkpoint_chain(tmp_path, rng):
+    """A stop-after chain (stage2_basis -> refine_pass_0 -> completion)
+    reproduces the single-invocation checkpointed run exactly — the
+    split-process composition used to bound per-process memory on relay
+    backends (and to survive scheduled preemption)."""
+    prep = _setup(tmp_path, rng)
+    algo = EigenSnpConfig(
+        k_global=3, min_subset_size=10, refine_passes=1, snp_strip_size=128
+    )
+    ref = compute_eigensnp_pca(
+        prep, algo, checkpoint_dir=str(tmp_path / "ck_one")
+    )
+
+    ck = str(tmp_path / "ck_chain")
+    assert compute_eigensnp_pca(
+        prep, algo, checkpoint_dir=ck,
+        stop_after_checkpoint="stage2_basis",
+    ) is None
+    assert compute_eigensnp_pca(
+        prep, algo, checkpoint_dir=ck,
+        stop_after_checkpoint="refine_pass_0",
+    ) is None
+    r = compute_eigensnp_pca(prep, algo, checkpoint_dir=ck)
+    np.testing.assert_array_equal(ref.scores, r.scores)
+    np.testing.assert_array_equal(ref.loadings, r.loadings)
+    np.testing.assert_array_equal(ref.eigenvalues, r.eigenvalues)
+
+
+def test_stop_after_checkpoint_validation(tmp_path, rng):
+    from genomic_pca_tpu.errors import ComputeError
+
+    prep = _setup(tmp_path, rng)
+    algo = EigenSnpConfig(k_global=3, min_subset_size=10)
+    with pytest.raises(ComputeError, match="checkpoint_dir"):
+        compute_eigensnp_pca(
+            prep, algo, stop_after_checkpoint="stage2_basis"
+        )
+    with pytest.raises(ComputeError, match="not a checkpoint"):
+        compute_eigensnp_pca(
+            prep, algo, checkpoint_dir=str(tmp_path / "ck"),
+            stop_after_checkpoint="refine_pass_9",
+        )
+
+
 def test_eigensnp_checkpoint_config_change_recomputes(tmp_path, rng):
     prep = _setup(tmp_path, rng)
     ck_dir = str(tmp_path / "ckpt")
