@@ -285,6 +285,22 @@ class StripPrefetcher:
             if self._controller is not None:
                 self._controller.join(timeout=2.0)
 
+    def close(self) -> None:
+        """Deterministically stop workers + controller (idempotent).
+
+        Consumers that may abandon a pass mid-loop (exception, early
+        break) call this from a try/finally so worker shutdown does not
+        depend on GC closing a nested generator chain — until the stop
+        event is set, daemon workers spin on 0.1 s backpressure polls
+        holding strip payloads.
+        """
+        self._stop.set()
+        with self._results_lock:
+            self._results.clear()
+            self._results_lock.notify_all()
+        if self._controller is not None:
+            self._controller.join(timeout=2.0)
+
     def throughput_bps(self, window_s: float = 8.0) -> float:
         """Windowed bytes/sec (reference: 8 s window, prepare.rs:753-770)."""
         now = time.monotonic()

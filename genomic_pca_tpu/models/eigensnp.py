@@ -880,6 +880,17 @@ def compute_eigensnp_pca(
                 f"stop_after_checkpoint {stop_after_checkpoint!r} is not "
                 f"a checkpoint of this run (have {sorted(valid)})."
             )
+        if ckpt.load(stop_after_checkpoint) is not None:
+            # A retried leg (preempted between ckpt.save and clean exit,
+            # or a scheduler re-running it) must NOT fall through and run
+            # the remaining pipeline in one process — that defeats the
+            # per-process memory bound the split legs exist for.
+            log.info(
+                "EigenSNP checkpoint %r already present in %s; this "
+                "stop-after leg is complete — exiting (the next leg "
+                "resumes from it).", stop_after_checkpoint, checkpoint_dir,
+            )
+            return None
 
     # diagnostic_block_tag implies collection (it writes INTO the
     # diagnostics JSON) — the Option<> sub-field relationship of the
@@ -1130,6 +1141,7 @@ def compute_eigensnp_pca(
         # single-pass process (matters on preemptible capacity AND on
         # relay backends whose clients retain a host mirror per upload).
         local_bases, svals = None, None
+        saved_bases = None
         y = None
         c_total_skip = sum(
             min(cfg.components_per_block, len(b.pca_snp_ids), len(subset))

@@ -219,15 +219,22 @@ class StreamingMatrix:
         self.last_telemetry = p.telemetry
 
         def _uploaded():
-            for i, (g, m, inv) in enumerate(p):
-                dev = self.devices[i % len(self.devices)]
-                # device_put enqueues asynchronously: strip i+1's wire
-                # transfer overlaps strip i's compute via the stream.
-                yield (
-                    jax.device_put(g, dev),
-                    jax.device_put(m, dev),
-                    jax.device_put(inv, dev),
-                )
+            # try/finally so an abandoned pass (exception or early break
+            # in the consumer) deterministically stops the workers
+            # instead of relying on GC to close the generator chain.
+            try:
+                for i, (g, m, inv) in enumerate(p):
+                    dev = self.devices[i % len(self.devices)]
+                    # device_put enqueues asynchronously: strip i+1's
+                    # wire transfer overlaps strip i's compute via the
+                    # stream.
+                    yield (
+                        jax.device_put(g, dev),
+                        jax.device_put(m, dev),
+                        jax.device_put(inv, dev),
+                    )
+            finally:
+                p.close()
 
         return _uploaded()
 

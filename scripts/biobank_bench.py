@@ -1,8 +1,8 @@
 """Biobank-scale end-to-end benchmark (r3 VERDICT #1 / BASELINE.md:29).
 
 Runs the FULL workflow — synthetic biobank BED -> QC -> EigenSNP PCA at
-k=40 — at a bigger-than-HBM shape (default 1,048,576 SNPs x 131,072
-samples: 34 GB BED, ~32 GB post-QC packed, forced through the
+k=40 — at a bigger-than-HBM shape (default 1,048,576 SNPs x 102,400
+samples: 26.8 GB BED, ~25 GB post-QC packed, forced through the
 host-streamed container with the 2-D q8 kernels), then certifies the
 output with:
 
@@ -19,14 +19,21 @@ no numbers (BASELINE.md).
 Environment note (relay backends): the tunneled single-chip backend
 used for validation mirrors every uploaded device buffer in host RAM
 and does not release the mirrors on deletion (measured: RSS grows 1:1
-with cumulative uploads), so a run's TOTAL uploaded bytes — three
-full-matrix passes: stage 1+2, the refinement pass, and the fused
-tsq+capture pass — must fit host RAM.  On a 125 GB host that caps the
-packed matrix near 26 GB/pass; `--samples 102400` (the default run
-below) fits, 131072 does not.  Real TPU hosts stream through pinned
-buffers and have no such cap.  Additionally, device_put from worker
-threads leaks on this backend (never freed): all uploads go through
-the main thread.
+with cumulative uploads).  A MONOLITHIC run therefore needs its TOTAL
+uploaded bytes — three full-matrix passes: stage 1+2, the refinement
+pass, and the fused tsq+capture pass — to fit host RAM, which on a
+125 GB host caps the packed matrix near 26 GB/pass and rules out even
+the 102,400-sample default.  The default `run_workflow(split=True)`
+composition instead runs ONE full-matrix pass per OS process via
+`--eigensnp-stop-after-checkpoint`, so the per-process bound is a
+single pass (~25 GB at the 1M x 102,400 default) plus the ~26.8 GB BED
+page cache pressure; that is the budget the default is sized to.
+1M x 131,072 (a 32.8 GB pass) is borderline under the split bound on a
+125 GB host and OOM-killed it monolithically — use `--samples 131072`
+only with the split legs and a quiet host.  Real TPU hosts stream
+through pinned buffers and have no such cap.  Additionally, device_put
+from worker threads leaks on this backend (never freed): all uploads
+go through the main thread.
 
 Stages and rates print for VALIDATION.md.  The fileset persists under
 --out-dir and regenerates only when missing (--regen to force).
@@ -332,7 +339,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/biobank")
     ap.add_argument("--snps", type=int, default=1_048_576)
-    ap.add_argument("--samples", type=int, default=131_072)
+    ap.add_argument("--samples", type=int, default=102_400)
     ap.add_argument("--blocks", type=int, default=1024)
     ap.add_argument("--k", type=int, default=40)
     ap.add_argument("--seed", type=int, default=2025)
