@@ -913,6 +913,47 @@ def compute_eigensnp_pca(
     stage_seconds: Dict[str, float] = {}
     _t_stage = _time.perf_counter()
 
+    # ---- Memory preflight (fail fast; utils/system.py) ----------------
+    # Estimate the full-matrix passes THIS process will stream (resumed
+    # checkpoints skip passes; stop_after_checkpoint truncates the tail)
+    # and reject runs whose cumulative uploads cannot fit the host
+    # budget on relay backends — a 30-second actionable error instead
+    # of an OOM-killed host (no reference analog; preflight culture of
+    # main.rs:253-267).
+    if not compile_only:
+        from genomic_pca_tpu.models.prepare import _device_memory_budget
+        from genomic_pca_tpu.utils.system import memory_preflight
+
+        _streamed = prep.will_stream(force_streaming)
+        if _streamed:
+            _passes = []
+            if not (ckpt.load("stage2_basis") is not None and diag is None):
+                _passes.append("stages_1_2")
+            if stop_after_checkpoint not in ("stage1_bases", "stage2_basis"):
+                _resume_at = 0
+                for p in reversed(range(cfg.refine_passes)):
+                    if ckpt.load(f"refine_pass_{p}") is not None:
+                        _resume_at = p + 1
+                        break
+                _stopped = False
+                for p in range(_resume_at, cfg.refine_passes):
+                    _passes.append(f"refine_pass_{p}")
+                    if stop_after_checkpoint == f"refine_pass_{p}":
+                        _stopped = True
+                        break
+                if not _stopped:
+                    _passes.append("capture_finalize")
+            n_matrix_passes = max(len(_passes), 1)
+        else:
+            n_matrix_passes = 1  # resident container uploads once
+        memory_preflight(
+            per_pass_device_bytes=prep.estimate_resident_bytes(),
+            n_passes=n_matrix_passes,
+            resident=not _streamed,
+            device_budget_bytes=_device_memory_budget(),
+            split_legs_available=(stop_after_checkpoint is None),
+        )
+
     # ---- Matrix container (loaded FIRST) ------------------------------
     # When the int8 matrix is HBM-resident (ShardedMatrix), stages 1-2
     # slice their blocks straight from it: one BED pass + one upload for

@@ -633,6 +633,29 @@ class PreparedData:
             )
         return sm
 
+    def estimate_resident_bytes(self) -> int:
+        """Device bytes of the resident genotype container (also the
+        per-pass upload of the streamed container, which re-uploads the
+        same strips every pass): 2-bit packed when the packed pipeline
+        will keep raw BED bytes, else 128-padded int8."""
+        if self.config.packed_pipeline and (
+            self.qc_capture is None or self.qc_capture.packed
+        ):  # 2-bit resident: 4x the capacity of int8
+            return self.n_pca_snps * _packed_cols(self.n_samples)
+        n_pad = -(-self.n_samples // 128) * 128
+        return self.n_pca_snps * n_pad
+
+    def will_stream(self, force_streaming: bool = False) -> bool:
+        """Whether load_matrix will fall back to the host-streamed
+        container (mirrors the 60%-of-HBM rule it applies)."""
+        if force_streaming:
+            return True
+        return (
+            jax.process_count() == 1
+            and self.estimate_resident_bytes()
+            > 0.6 * _device_memory_budget()
+        )
+
     def load_matrix(
         self,
         strip_size: int = 2048,
@@ -670,13 +693,7 @@ class PreparedData:
             self.config.packed_pipeline
             and len(self.qc_sample_indices) == self.bed.n_samples
         )
-        if self.config.packed_pipeline and (
-            self.qc_capture is None or self.qc_capture.packed
-        ):  # 2-bit resident: 4x the capacity of int8
-            resident_bytes = self.n_pca_snps * _packed_cols(self.n_samples)
-        else:
-            n_pad = -(-self.n_samples // 128) * 128
-            resident_bytes = self.n_pca_snps * n_pad
+        resident_bytes = self.estimate_resident_bytes()
         budget = _device_memory_budget()
         if jax.process_count() == 1 and resident_bytes > 0.6 * budget:
             log.warning(
