@@ -59,6 +59,11 @@ class EigenSnpResult:
     eigenvalues: np.ndarray  # (K,) f64
     loadings: np.ndarray  # (D, K) f32 per-SNP loadings
     diagnostics: Optional[Dict] = None
+    # Always-on stage wall-clocks (matrix_load / stages_1_2 / global_pca
+    # / refinement_finalize) — the diagnostics run records the same
+    # table but takes the per-pass code path; this field attributes the
+    # PRODUCTION (fused pca_core) path.
+    stage_seconds: Optional[Dict[str, float]] = None
 
 
 def _bucket_rows(d: int, bucket: int = 512) -> int:
@@ -1489,4 +1494,5 @@ def compute_eigensnp_pca(
         eigenvalues=eigenvalues,
         loadings=loadings,
         diagnostics=diag,
+        stage_seconds={s: round(t, 3) for s, t in stage_seconds.items()},
     )
