@@ -816,6 +816,32 @@ def _stages12_host(
     return local_bases, None, y
 
 
+def _planned_matrix_passes(
+    cfg, ckpt, stop_after_checkpoint: Optional[str], diagnostics: bool,
+) -> List[str]:
+    """Full-matrix passes THIS process will stream, given the resumed
+    checkpoint state and a stop-after truncation (feeds the memory
+    preflight — on streamed containers every listed pass re-uploads the
+    matrix).  stages 1+2 share one pass; each refinement pass and the
+    final capture/finalize are one each."""
+    passes: List[str] = []
+    if not (ckpt.load("stage2_basis") is not None and not diagnostics):
+        passes.append("stages_1_2")
+    if stop_after_checkpoint in ("stage1_bases", "stage2_basis"):
+        return passes
+    resume_at = 0
+    for p in reversed(range(cfg.refine_passes)):
+        if ckpt.load(f"refine_pass_{p}") is not None:
+            resume_at = p + 1
+            break
+    for p in range(resume_at, cfg.refine_passes):
+        passes.append(f"refine_pass_{p}")
+        if stop_after_checkpoint == f"refine_pass_{p}":
+            return passes
+    passes.append("capture_finalize")
+    return passes
+
+
 def _ckpt_stop(ckpt, name: str, stop_after: Optional[str]) -> bool:
     """True when the run should exit after saving checkpoint `name`."""
     if stop_after != name:
@@ -931,24 +957,9 @@ def compute_eigensnp_pca(
 
         _streamed = prep.will_stream(force_streaming)
         if _streamed:
-            _passes = []
-            if not (ckpt.load("stage2_basis") is not None and diag is None):
-                _passes.append("stages_1_2")
-            if stop_after_checkpoint not in ("stage1_bases", "stage2_basis"):
-                _resume_at = 0
-                for p in reversed(range(cfg.refine_passes)):
-                    if ckpt.load(f"refine_pass_{p}") is not None:
-                        _resume_at = p + 1
-                        break
-                _stopped = False
-                for p in range(_resume_at, cfg.refine_passes):
-                    _passes.append(f"refine_pass_{p}")
-                    if stop_after_checkpoint == f"refine_pass_{p}":
-                        _stopped = True
-                        break
-                if not _stopped:
-                    _passes.append("capture_finalize")
-            n_matrix_passes = max(len(_passes), 1)
+            n_matrix_passes = max(len(_planned_matrix_passes(
+                cfg, ckpt, stop_after_checkpoint, diag is not None
+            )), 1)
         else:
             n_matrix_passes = 1  # resident container uploads once
         memory_preflight(

@@ -187,10 +187,14 @@ def run_workflow(out_dir: Path, k: int, prefix: str = "run",
                               write_moments=True)
         return {"wall_seconds": round(time.perf_counter() - t0, 1)}
 
+    import shutil
     import subprocess
 
     repo = Path(__file__).resolve().parent.parent
     ck = out_dir / "ckpt"
+    # A leftover chain from a previous benchmark run would make the
+    # legs resume (exit immediately) and report a fake e2e time.
+    shutil.rmtree(ck, ignore_errors=True)
     base = [
         sys.executable, "-m", "genomic_pca_tpu", "--eigensnp",
         "--bed-file", str(out_dir / "biobank"),
@@ -227,15 +231,31 @@ def run_workflow(out_dir: Path, k: int, prefix: str = "run",
 
 
 def residual_certificate(out_dir: Path, prefix: str = "run",
-                         strip: int = 8192) -> dict:
-    """Float64 Rayleigh residual per PC over the FULL matrix, on host.
+                         strip: int = 8192,
+                         backend: str = "auto") -> dict:
+    """Float64 Rayleigh residual per PC over the FULL matrix.
 
     Reads the workflow's scores + moments, streams the BED once, and
     computes r_j = ||G v_j - rho_j v_j|| / rho_j for the normalized
     score directions v_j (G = X^T X, never materialized; rho_j = the
-    Rayleigh quotient).  Fully independent of the device kernels: BED
-    decode + f32 GEMM per strip with float64 inter-strip accumulation.
+    Rayleigh quotient).  Independent of the ENTIRE production compute
+    path in both backends — neither touches the Pallas kernels, the q8
+    quantization, the packed device layout, or the fused programs:
+
+    * host   — BED decode + in-place f32 standardize + BLAS GEMM per
+               strip, float64 inter-strip accumulation.  Fully
+               device-free, but bandwidth-bound: on a loaded shared
+               host (0.1-1 GB/s measured) the 107-Ggenotype pass takes
+               hours.
+    * device — the identical math as plain jnp f32 ops (XLA matmuls
+               on dense unpacked strips; no custom kernels), float64
+               accumulation still on host.  Bound by the strip upload
+               link instead of host bandwidth.
+    * auto   — device when an accelerator is attached, else host.
     """
+    import jax
+    import jax.numpy as jnp
+
     from genomic_pca_tpu.io.bed import BedReader
     from genomic_pca_tpu.io.writers import read_moments
 
@@ -252,25 +272,77 @@ def residual_certificate(out_dir: Path, prefix: str = "run",
     pos_of = {sid: i for i, sid in enumerate(bed.bim.sid)}
     rows = np.asarray([pos_of[v] for v in ids], dtype=np.int64)
     inv = np.where(stds > 0, 1.0 / np.where(stds > 0, stds, 1.0), 0.0)
+    means32 = means.astype(np.float32)
+    inv32 = inv.astype(np.float32)
+
+    if backend == "auto":
+        backend = (
+            "device" if jax.devices()[0].platform not in ("cpu",) else "host"
+        )
+    print(f"  residual backend: {backend}", flush=True)
 
     v = scores / np.linalg.norm(scores, axis=0, keepdims=True)  # (N, k)
     v32 = v.astype(np.float32)
     n = scores.shape[0]
     acc = np.zeros_like(v)  # G v, accumulated f64
-    cols = np.arange(n, dtype=np.int64)
-    for lo in range(0, len(rows), strip):
-        hi = min(lo + strip, len(rows))
-        g = bed.read(rows[lo:hi], cols)  # (s, N) int8
-        x = np.where(g != -127, g, means[lo:hi, None]).astype(np.float32)
-        x -= means[lo:hi, None].astype(np.float32)
-        x *= inv[lo:hi, None].astype(np.float32)
-        acc += (x.T @ (x @ v32)).astype(np.float64)
-        if lo % (16 * strip) == 0:
-            print(f"  residual pass {lo}/{len(rows)} rows "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    if backend == "device":
+        dev = jax.devices()[0]
+        v_dev = jax.device_put(v32, dev)
+        code_map = jnp.asarray([2, 0, 1, 0], dtype=jnp.int8)
+        code_ok = jnp.asarray([1.0, 0.0, 1.0, 1.0], dtype=jnp.float32)
+
+        @jax.jit
+        def _strip_gv(pk, m, iv, vd):
+            # Plain XLA on the RAW packed bytes (4x less relay upload
+            # than dense int8): 2-bit unpack via shifts + take, then
+            # standardize and two f32 matmuls.  No Pallas, no
+            # quantization, none of the production device programs.
+            codes = jnp.stack(
+                [(pk >> (2 * p)) & 0b11 for p in range(4)], axis=-1
+            ).reshape(pk.shape[0], -1)[:, :n]
+            # count_a1 code meanings: 0 -> 2, 1 -> missing, 2 -> 1,
+            # 3 -> 0 (io/bed.py:_build_lut); missing imputes to the
+            # mean, i.e. contributes exactly 0 after centering.
+            x = jnp.take(code_map, codes).astype(jnp.float32)
+            ok = jnp.take(code_ok, codes)
+            x = (x - m[:, None]) * iv[:, None] * ok
+            return jnp.dot(
+                x.T, jnp.dot(x, vd, precision="highest"),
+                precision="highest",
+            )
+
+        for lo in range(0, len(rows), strip):
+            hi = min(lo + strip, len(rows))
+            pk = bed.read_packed(rows[lo:hi])  # (s, ceil(N/4)) uint8
+            part = _strip_gv(
+                jax.device_put(pk, dev),
+                jax.device_put(means32[lo:hi], dev),
+                jax.device_put(inv32[lo:hi], dev),
+                v_dev,
+            )
+            acc += np.asarray(part, dtype=np.float64)
+            if lo % (8 * strip) == 0:
+                print(f"  residual pass {lo}/{len(rows)} rows "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    else:
+        for lo in range(0, len(rows), strip):
+            hi = min(lo + strip, len(rows))
+            g = bed.read(rows[lo:hi])  # (s, N) int8, native decode
+            # In-place f32 standardize: centered missing entries are
+            # exactly 0 == mean imputation (no f64 intermediates).
+            x = g.astype(np.float32)
+            np.subtract(x, means32[lo:hi, None], out=x)
+            x[g == -127] = 0.0
+            np.multiply(x, inv32[lo:hi, None], out=x)
+            acc += (x.T @ (x @ v32)).astype(np.float64)
+            if lo % (8 * strip) == 0:
+                print(f"  residual pass {lo}/{len(rows)} rows "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
     rho = (v * acc).sum(axis=0)  # Rayleigh quotients
     res = np.linalg.norm(acc - v * rho, axis=0) / rho
     return {
+        "backend": backend,
         "residual_per_pc": [float(f"{r:.3e}") for r in res],
         "max_residual": float(f"{res.max():.3e}"),
         "rayleigh_eigenvalue_ratio_pc1": float(
@@ -348,6 +420,11 @@ def main() -> int:
     ap.add_argument("--skip-run", action="store_true")
     ap.add_argument("--skip-residual", action="store_true")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--residual-backend", default="auto",
+                    choices=("auto", "host", "device"),
+                    help="Where the residual certificate's strip math "
+                         "runs (both are independent of the production "
+                         "compute path; see residual_certificate).")
     args = ap.parse_args()
 
     logging.basicConfig(
@@ -383,7 +460,9 @@ def main() -> int:
 
     if not args.skip_residual:
         print("\n=== float64 Rayleigh residual certificate ===", flush=True)
-        summary["residual"] = residual_certificate(out_dir)
+        summary["residual"] = residual_certificate(
+            out_dir, backend=args.residual_backend
+        )
 
     if not args.skip_oracle:
         print("\n=== sample/SNP-subset oracle concordance ===", flush=True)

@@ -113,6 +113,56 @@ def test_preflight_no_mirror_never_raises():
     assert est["relay_mirror"] is False
 
 
+class _FakeCkpt:
+    def __init__(self, present=()):
+        self._present = set(present)
+
+    def load(self, name):
+        return {} if name in self._present else None
+
+
+class _Cfg:
+    refine_passes = 2
+
+
+def test_planned_passes_fresh_monolithic():
+    from genomic_pca_tpu.models.eigensnp import _planned_matrix_passes
+
+    passes = _planned_matrix_passes(_Cfg, _FakeCkpt(), None, False)
+    assert passes == [
+        "stages_1_2", "refine_pass_0", "refine_pass_1", "capture_finalize"
+    ]
+
+
+def test_planned_passes_split_legs_are_single_pass():
+    from genomic_pca_tpu.models.eigensnp import _planned_matrix_passes
+
+    # Leg 1: stop after stage2_basis -> only the stages-1+2 pass.
+    assert _planned_matrix_passes(
+        _Cfg, _FakeCkpt(), "stage2_basis", False
+    ) == ["stages_1_2"]
+    # Leg 2: resume past stages 1+2, stop after refine_pass_0.
+    assert _planned_matrix_passes(
+        _Cfg, _FakeCkpt(["stage2_basis"]), "refine_pass_0", False
+    ) == ["refine_pass_0"]
+    # Leg 3: resume past refine passes -> just the capture pass.
+    assert _planned_matrix_passes(
+        _Cfg, _FakeCkpt(["stage2_basis", "refine_pass_0", "refine_pass_1"]),
+        None, False,
+    ) == ["capture_finalize"]
+
+
+def test_planned_passes_diagnostics_run_repeats_stages12():
+    from genomic_pca_tpu.models.eigensnp import _planned_matrix_passes
+
+    # Diagnostics runs never take the stage-1/2 skip (they need the
+    # per-block intermediates), so the pass stays planned.
+    passes = _planned_matrix_passes(
+        _Cfg, _FakeCkpt(["stage2_basis"]), None, True
+    )
+    assert passes[0] == "stages_1_2"
+
+
 def test_will_stream_and_estimate(tmp_path):
     from genomic_pca_tpu.config import DataPrepConfig
     from genomic_pca_tpu.io.bed import write_plink
