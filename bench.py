@@ -285,10 +285,15 @@ def main() -> None:
             orc = subset_oracle(
                 bio_dir, k=40, n_sub_blocks=16, n_sub_samples=4096
             )
-            bio["biobank_e2e_per_pc_abs_r_min"] = orc["per_pc_abs_r_min"]
+            bio["biobank_e2e_per_pc_abs_r_min"] = orc[
+                "per_pc_abs_r_min_separated"
+            ]
             bio["biobank_e2e_oracle"] = {
                 k_: orc[k_]
-                for k_ in ("subset_snps", "subset_samples", "seconds")
+                for k_ in (
+                    "subset_snps", "subset_samples", "well_separated_k",
+                    "subspace_min_principal_cosine_full_k", "seconds",
+                )
             }
         except Exception as e:
             bio["biobank_e2e_oracle_error"] = str(e)
