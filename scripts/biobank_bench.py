@@ -415,12 +415,29 @@ def subset_oracle(out_dir: Path, k: int, n_sub_blocks: int = 128,
             break
     qf, _ = np.linalg.qr(np.asarray(res.scores, dtype=np.float64))
     qe, _ = np.linalg.qr(np.asarray(exact.scores, dtype=np.float64))
+    # Subspace affinity over the SEPARATED prefix: rotation-invariant
+    # within the window AND gapped at its boundary, so it is
+    # well-conditioned (the full-k subspace is not when the cut at k
+    # lands inside the quasi-degenerate bulk — Davis-Kahan: the
+    # perturbation bound scales with 1/gap at the boundary).
+    cos_sep = np.linalg.svd(
+        qf[:, :sep_k].T @ qe[:, :sep_k], compute_uv=False
+    )
     cosines = np.linalg.svd(qf.T @ qe, compute_uv=False)
+    np.savez(
+        out_dir / "oracle_scores.npz",
+        framework=np.asarray(res.scores, dtype=np.float32),
+        exact=np.asarray(exact.scores, dtype=np.float32),
+        exact_eigenvalues=ev,
+    )
     return {
         "subset_snps": int(prep.n_pca_snps),
         "subset_samples": int(len(keep)),
         "well_separated_k": int(sep_k),
         "per_pc_abs_r_min_separated": float(f"{min(rr[:sep_k]):.6f}"),
+        "subspace_min_principal_cosine_separated": float(
+            f"{cos_sep.min():.6f}"
+        ),
         "subspace_min_principal_cosine_full_k": float(
             f"{cosines.min():.6f}"
         ),
