@@ -300,6 +300,23 @@ def main() -> None:
     except Exception as e:
         bio = {"biobank_e2e_error": str(e)}
 
+    # Mirror the committed FULL-SCALE certification (1M x 102,400 k=40:
+    # per-leg walls, Rayleigh-residual certificate, subset-oracle
+    # concordance — scripts/biobank_bench.py, VALIDATION.md round 5)
+    # into the artifact so BENCH_r* carries the certified numbers.
+    try:
+        import pathlib
+
+        cert_path = pathlib.Path(__file__).resolve().parent / (
+            "BIOBANK_CERT.json"
+        )
+        if cert_path.exists():
+            bio["biobank_full_scale_certified"] = json.loads(
+                cert_path.read_text()
+            )
+    except Exception:
+        pass
+
     # Reference-strategy baseline: numpy f64 centered Gram accumulation
     # (X^T X over a sample of strips), the oracle's inner loop.  Best of
     # 3 reps — the shared host's load varies run to run and a single
