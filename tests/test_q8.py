@@ -338,21 +338,21 @@ def test_swar_sentinel_clean_all_bytes():
 
 def test_swar_unpack_formula_all_bytes():
     """Pin the SWAR byte-parallel packed unpack (u32 path, TPU-only)
-    against the scalar semantics for EVERY byte value: per 2-bit code,
-    dosage = (4-c)>>1 with missing (c==1) -> 0, four codes per byte,
-    four bytes per u32 lane."""
+    against the scalar semantics for EVERY byte value: per 2-bit code
+    with low bit a and high bit b, dosage = na + (na & nb) on the
+    complemented bits (na = ~a, nb = ~b) maps codes {0,1,2,3} ->
+    {2,0,1,0} — i.e. (4-c)>>1 with missing (c==1) -> 0 — four codes
+    per byte, four bytes per u32 lane."""
     vals = np.arange(256, dtype=np.uint32)
+    m = np.uint32(0x01010101)
     for lane in range(4):  # byte position inside the u32
         x32 = vals << np.uint32(8 * lane)
+        u32 = ~x32
+        h32 = u32 & (u32 >> np.uint32(1))
         for p in range(4):  # plane = 2-bit field inside each byte
-            c = (x32 >> np.uint32(2 * p)) & np.uint32(0x03030303)
-            d = ((np.uint32(0x04040404) - c) >> np.uint32(1)) & np.uint32(
-                0x7F7F7F7F
+            d = ((u32 >> np.uint32(2 * p)) & m) + (
+                (h32 >> np.uint32(2 * p)) & m
             )
-            t = c ^ np.uint32(0x01010101)
-            nz_high = (t + np.uint32(0x7F7F7F7F)) | t
-            zmask = (~nz_high & np.uint32(0x80808080)) >> np.uint32(7)
-            d = d & ~(zmask * np.uint32(0xFF))
             got = ((d >> np.uint32(8 * lane)) & 0xFF).astype(np.uint8)
             # scalar reference for the byte in this lane
             code = (vals.astype(np.uint8) >> (2 * p)) & 3
@@ -362,23 +362,21 @@ def test_swar_unpack_formula_all_bytes():
             )
 
     # Cross-byte independence: every adjacent byte pair decodes as if
-    # alone (no borrow/carry bleed between bytes in the subtract / the
-    # +0x7f zero-detect / the >>1 spill mask).
+    # alone (no carry bleed between bytes in the add, and h's >>1
+    # never crosses a byte boundary for the extracted positions
+    # 2p <= 6).
     lo = np.repeat(np.arange(256, dtype=np.uint32), 256)
     hi = np.tile(np.arange(256, dtype=np.uint32), 256)
     x32 = lo | (hi << np.uint32(8))
 
     def swar(x):
+        u = ~x
+        h = u & (u >> np.uint32(1))
         out = []
         for p in range(4):
-            c = (x >> np.uint32(2 * p)) & np.uint32(0x03030303)
-            d = ((np.uint32(0x04040404) - c) >> np.uint32(1)) & np.uint32(
-                0x7F7F7F7F
+            out.append(
+                ((u >> np.uint32(2 * p)) & m) + ((h >> np.uint32(2 * p)) & m)
             )
-            t = c ^ np.uint32(0x01010101)
-            nz_high = (t + np.uint32(0x7F7F7F7F)) | t
-            zmask = (~nz_high & np.uint32(0x80808080)) >> np.uint32(7)
-            out.append(d & ~(zmask * np.uint32(0xFF)))
         return out
 
     pair = swar(x32)
