@@ -254,15 +254,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         if missing:
             log.error("%s required for the VCF workflow.", ", ".join(missing))
             return 2
-        if args.eigensnp_stop_after_checkpoint is not None:
-            # Only the EigenSNP pipeline has stage checkpoints; silently
-            # ignoring the flag here would drop the caller's intended
-            # memory/preemption bound.
-            log.error(
-                "--eigensnp-stop-after-checkpoint requires --eigensnp "
-                "(the VCF/rfit workflow has no stage checkpoints)."
-            )
-            return 2
+        # Only the EigenSNP pipeline has stage checkpoints; silently
+        # ignoring either flag here would drop the caller's intended
+        # preemption-safety / memory bound.
+        for flag, val in (
+            ("--eigensnp-stop-after-checkpoint",
+             args.eigensnp_stop_after_checkpoint),
+            ("--eigensnp-checkpoint-dir", args.eigensnp_checkpoint_dir),
+        ):
+            if val is not None:
+                log.error(
+                    "%s requires --eigensnp (the VCF/rfit workflow has "
+                    "no stage checkpoints).", flag,
+                )
+                return 2
 
     from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
     from genomic_pca_tpu.workflows import run_eigensnp_workflow, run_vcf_workflow

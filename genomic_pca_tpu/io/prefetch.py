@@ -279,11 +279,10 @@ class StripPrefetcher:
                     raise err
                 yield payload
         finally:
-            self._stop.set()
-            with self._results_lock:
-                self._results_lock.notify_all()
-            if self._controller is not None:
-                self._controller.join(timeout=2.0)
+            # One shutdown path: close() also clears queued payloads —
+            # after a completed pass the queue is empty anyway, and on
+            # early exit dropping them releases strip memory sooner.
+            self.close()
 
     def close(self) -> None:
         """Deterministically stop workers + controller (idempotent).

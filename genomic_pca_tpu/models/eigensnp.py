@@ -825,13 +825,13 @@ def _planned_matrix_passes(
     matrix).  stages 1+2 share one pass; each refinement pass and the
     final capture/finalize are one each."""
     passes: List[str] = []
-    if not (ckpt.load("stage2_basis") is not None and not diagnostics):
+    if not (ckpt.has("stage2_basis") and not diagnostics):
         passes.append("stages_1_2")
     if stop_after_checkpoint in ("stage1_bases", "stage2_basis"):
         return passes
     resume_at = 0
     for p in reversed(range(cfg.refine_passes)):
-        if ckpt.load(f"refine_pass_{p}") is not None:
+        if ckpt.has(f"refine_pass_{p}"):
             resume_at = p + 1
             break
     for p in range(resume_at, cfg.refine_passes):
@@ -911,15 +911,28 @@ def compute_eigensnp_pca(
                 f"stop_after_checkpoint {stop_after_checkpoint!r} is not "
                 f"a checkpoint of this run (have {sorted(valid)})."
             )
-        if ckpt.load(stop_after_checkpoint) is not None:
-            # A retried leg (preempted between ckpt.save and clean exit,
-            # or a scheduler re-running it) must NOT fall through and run
-            # the remaining pipeline in one process — that defeats the
-            # per-process memory bound the split legs exist for.
+        # A retried leg (preempted between ckpt.save and clean exit, or
+        # a scheduler re-running it) must NOT fall through and run the
+        # remaining pipeline in one process — that defeats the
+        # per-process memory bound the split legs exist for.  The leg is
+        # complete when its checkpoint exists OR when any LATER stage's
+        # checkpoint does (e.g. a retried stage-1 leg whose
+        # stage1_bases.npz was lost but whose stage2_basis survived:
+        # the pipeline is already past the requested stopping point,
+        # and re-running from stage2 would stream the full tail).
+        _order = ["stage1_bases", "stage2_basis"] + [
+            f"refine_pass_{p}" for p in range(cfg.refine_passes)
+        ]
+        _at = _order.index(stop_after_checkpoint)
+        _done = next(
+            (s for s in _order[_at:] if ckpt.has(s)), None
+        )
+        if _done is not None:
             log.info(
-                "EigenSNP checkpoint %r already present in %s; this "
-                "stop-after leg is complete — exiting (the next leg "
-                "resumes from it).", stop_after_checkpoint, checkpoint_dir,
+                "EigenSNP checkpoint %r already present in %s (stop "
+                "point %r); this stop-after leg is complete — exiting "
+                "(the next leg resumes from it).",
+                _done, checkpoint_dir, stop_after_checkpoint,
             )
             return None
 
@@ -963,7 +976,14 @@ def compute_eigensnp_pca(
         else:
             n_matrix_passes = 1  # resident container uploads once
         memory_preflight(
-            per_pass_device_bytes=prep.estimate_resident_bytes(),
+            # Streamed passes upload 2-bit packed strips (keep-list
+            # columns re-pack on the host); the int8 resident estimate
+            # only applies when the container actually stays resident.
+            per_pass_device_bytes=(
+                prep.estimate_streamed_pass_bytes()
+                if _streamed
+                else prep.estimate_resident_bytes()
+            ),
             n_passes=n_matrix_passes,
             resident=not _streamed,
             device_budget_bytes=_device_memory_budget(),

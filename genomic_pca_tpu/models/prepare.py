@@ -645,9 +645,22 @@ class PreparedData:
         n_pad = -(-self.n_samples // 128) * 128
         return self.n_pca_snps * n_pad
 
+    def estimate_streamed_pass_bytes(self) -> int:
+        """Per-pass host->device upload of the HOST-STREAMED container.
+        Under `packed_pipeline` strips always stream as 2-bit PLINK
+        bytes — with a sample keep-list the kept columns re-pack on the
+        host (load_streaming_matrix) — so the per-pass upload is packed
+        even when the RESIDENT estimate would be int8 (capture fusion).
+        Feeds the memory preflight's relay host-mirror bound."""
+        if self.config.packed_pipeline:
+            return self.n_pca_snps * _packed_cols(self.n_samples)
+        n_pad = -(-self.n_samples // 128) * 128
+        return self.n_pca_snps * n_pad
+
     def will_stream(self, force_streaming: bool = False) -> bool:
         """Whether load_matrix will fall back to the host-streamed
-        container (mirrors the 60%-of-HBM rule it applies)."""
+        container — THE streaming rule (load_matrix calls this; keep
+        the threshold in one place)."""
         if force_streaming:
             return True
         return (
@@ -695,7 +708,7 @@ class PreparedData:
         )
         resident_bytes = self.estimate_resident_bytes()
         budget = _device_memory_budget()
-        if jax.process_count() == 1 and resident_bytes > 0.6 * budget:
+        if self.will_stream():
             log.warning(
                 "Genotype block (%.1f GB) exceeds 60%% of device memory "
                 "(%.1f GB); using the host-streamed matrix.",

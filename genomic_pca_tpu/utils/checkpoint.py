@@ -87,6 +87,23 @@ class StageCheckpointer:
         os.replace(tmp, self._path(stage))
         log.info("Checkpointed stage '%s' to %s", stage, self._path(stage))
 
+    def has(self, stage: str) -> bool:
+        """Cheap presence probe: reads only the npz's zip directory (no
+        array materialization, no 'Resuming' log) — for pass planning
+        and leg-completion checks.  `load` remains the authority on
+        array-level readability."""
+        if not self.enabled:
+            return False
+        path = self._path(stage)
+        if not os.path.exists(path):
+            return False
+        try:
+            with np.load(path) as z:
+                _ = z.files  # zip central directory only
+            return True
+        except (OSError, ValueError):
+            return False
+
     def load(self, stage: str) -> Optional[Dict[str, np.ndarray]]:
         if not self.enabled:
             return None

@@ -104,9 +104,17 @@ def main() -> int:
         finally:
             shutil.rmtree(trace_dir, ignore_errors=True)
 
+        # Include matrix_load: the trace's device total covers ALL
+        # modules dispatched inside compute_eigensnp_pca (upload /
+        # standardize programs included), so the wall side must cover
+        # the same scope or the subtraction below mixes scopes (and can
+        # go negative on upload-heavy shapes).
         core_s = sum(
             stages.get(s, 0.0)
-            for s in ("stages_1_2", "global_pca", "refinement_finalize")
+            for s in (
+                "matrix_load", "stages_1_2", "global_pca",
+                "refinement_finalize",
+            )
         )
         attribution = {
             "shape": {"snps": d, "samples": n, "k": args.k},

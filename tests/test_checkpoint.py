@@ -126,3 +126,47 @@ def test_fingerprint_sensitivity():
     assert fingerprint(cfg1, 10, 100, ["a"]) != fingerprint(cfg2, 10, 100, ["a"])
     assert fingerprint(cfg1, 10, 100, ["a"]) != fingerprint(cfg1, 11, 100, ["a"])
     assert fingerprint(cfg1, 10, 100, ["a"]) == fingerprint(cfg1, 10, 100, ["a"])
+
+
+def test_checkpointer_has_probe(tmp_path):
+    """has() detects presence (and zip-level corruption) without
+    materializing arrays or logging a 'Resuming' line."""
+    ck = StageCheckpointer(str(tmp_path / "ck"), "fp")
+    assert ck.has("stage1") is False
+    ck.save("stage1", {"x": np.ones(3)})
+    assert ck.has("stage1") is True
+    # zip-level corruption -> has() False, load() None
+    with open(ck._path("stage1"), "wb") as fh:
+        fh.write(b"not a zip")
+    assert ck.has("stage1") is False
+    assert ck.load("stage1") is None
+    assert StageCheckpointer(None, "fp").has("stage1") is False
+
+
+def test_stop_after_leg_exits_when_pipeline_already_past(tmp_path, rng):
+    """A retried stage-1 leg whose stage1_bases checkpoint was lost but
+    whose stage2_basis survived must exit immediately: the pipeline is
+    already past the requested stopping point, and falling through
+    would stream the entire remaining tail in one process (defeating
+    the per-process memory bound)."""
+    import os
+
+    prep = _setup(tmp_path, rng)
+    ck_dir = str(tmp_path / "ckpt")
+    algo = EigenSnpConfig(k_global=3, min_subset_size=10, snp_strip_size=128)
+    # Leg 1 normally: runs stages 1+2, checkpoints both, exits.
+    r = compute_eigensnp_pca(
+        prep, algo, checkpoint_dir=ck_dir,
+        stop_after_checkpoint="stage2_basis",
+    )
+    assert r is None
+    # Lose the EARLIER checkpoint, retry the stage-1 leg.
+    os.remove(os.path.join(ck_dir, "stage1_bases.npz"))
+    r = compute_eigensnp_pca(
+        prep, algo, checkpoint_dir=ck_dir,
+        stop_after_checkpoint="stage1_bases",
+    )
+    assert r is None  # exited early: stage2_basis implies stage1 done
+    # The completion leg still produces the full result from stage2.
+    done = compute_eigensnp_pca(prep, algo, checkpoint_dir=ck_dir)
+    assert done is not None and done.scores.shape[1] == 3

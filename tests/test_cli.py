@@ -81,6 +81,16 @@ def test_missing_required_args():
     assert main(["--eigensnp", "-o", "x"]) == 2  # no bed/ld files
 
 
+def test_vcf_mode_rejects_eigensnp_checkpoint_flags(tmp_path):
+    # Silently ignoring either flag would drop the caller's intended
+    # preemption-safety / memory bound (cli.py validation).
+    base = ["-d", str(tmp_path), "-o", str(tmp_path / "o"), "-k", "3"]
+    assert main(base + ["--eigensnp-stop-after-checkpoint",
+                        "stage2_basis"]) == 2
+    assert main(base + ["--eigensnp-checkpoint-dir",
+                        str(tmp_path / "ck")]) == 2
+
+
 def test_failure_returns_nonzero(tmp_path):
     rc = main(["-d", str(tmp_path), "-o", str(tmp_path / "o"), "-k", "3",
                "--log-level", "Off"])

@@ -120,6 +120,9 @@ class _FakeCkpt:
     def load(self, name):
         return {} if name in self._present else None
 
+    def has(self, name):
+        return name in self._present
+
 
 class _Cfg:
     refine_passes = 2
@@ -181,6 +184,41 @@ def test_will_stream_and_estimate(tmp_path):
     assert 0 < est < 1 << 20  # tiny fixture
     assert prep.will_stream(force_streaming=False) is False
     assert prep.will_stream(force_streaming=True) is True
+
+
+def test_streamed_pass_estimate_is_packed_with_keep_list(tmp_path):
+    """The preflight's streamed per-pass estimate must be the 2-bit
+    packed upload even when a sample keep-list makes the RESIDENT
+    estimate int8 (the streamed container re-packs kept columns on the
+    host — a 4x overestimate here falsely rejects runs that fit)."""
+    from genomic_pca_tpu.config import DataPrepConfig
+    from genomic_pca_tpu.io.bed import write_plink
+    from genomic_pca_tpu.models.prepare import prepare_data
+
+    from genomic_pca_tpu.parallel.sharded import packed_cols
+
+    rng = np.random.default_rng(7)
+    n_samples = 2048
+    g = rng.integers(0, 3, (64, n_samples)).astype(np.int8)
+    write_plink(tmp_path / "fx", g, bp=np.arange(64) * 10 + 10,
+                chrom=["1"] * 64)
+    (tmp_path / "blocks.tsv").write_text("1 1 2000\n")
+    keep = tmp_path / "keep.txt"
+    keep.write_text("".join(f"sample{i}\n" for i in range(0, n_samples, 2)))
+    prep = prepare_data(DataPrepConfig(
+        bed_path=str(tmp_path / "fx"),
+        ld_block_path=str(tmp_path / "blocks.tsv"),
+        sample_keep_path=str(keep),
+    ))
+    d = prep.n_pca_snps
+    n_kept = len(prep.qc_sample_indices)
+    assert n_kept == n_samples // 2
+    streamed = prep.estimate_streamed_pass_bytes()
+    assert streamed == d * packed_cols(n_kept)  # 2-bit packed bytes
+    # int8 resident estimate (capture fusion) is 4x the packed pass at
+    # this lane-aligned size
+    if prep.qc_capture is not None and not prep.qc_capture.packed:
+        assert prep.estimate_resident_bytes() == 4 * streamed
 
 
 def test_cli_forced_failure_is_fast_and_actionable(tmp_path):
