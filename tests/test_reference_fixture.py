@@ -85,3 +85,61 @@ def test_exact_pca_on_real_fixture(fixture_prefix):
     assert np.isfinite(res.scores).all()
     assert (res.eigenvalues > 0).all()
     assert res.n_kept_variants > 100
+
+
+def test_eigensnp_concordance_on_real_fixture(fixture_prefix, tmp_path):
+    """Full framework (QC -> LD blocks -> two-stage EigenSNP) vs the
+    exact float64 oracle on the REAL chr22 genotypes — real LD
+    structure and missingness patterns, not the synthetic generator.
+    Per-PC |r| is only asserted over the eigengap-separated prefix
+    (real-data spectra decay smoothly; degenerate directions rotate
+    freely in both solvers)."""
+    from genomic_pca_tpu.config import DataPrepConfig, EigenSnpConfig
+    from genomic_pca_tpu.io.bed import BedReader
+    from genomic_pca_tpu.models.eigensnp import compute_eigensnp_pca
+    from genomic_pca_tpu.models.exact import exact_pca_from_strips
+    from genomic_pca_tpu.models.prepare import prepare_data
+
+    reader = BedReader(fixture_prefix)
+    blocks = tmp_path / "blocks.tsv"
+    span = reader.n_snps * 10 + 20
+    edges = np.linspace(0, span, 5, dtype=np.int64)
+    blocks.write_text(
+        "".join(
+            f"22 {edges[i] + 1} {edges[i + 1]}\n" for i in range(4)
+        )
+    )
+    k = 6
+    cfg = DataPrepConfig(
+        bed_path=fixture_prefix,
+        ld_block_path=str(blocks),
+        min_call_rate=0.9,
+        min_maf=0.01,
+        max_hwe_p=1e-6,
+    )
+    prep = prepare_data(cfg)
+    assert prep.n_pca_snps > 100
+    res = compute_eigensnp_pca(prep, EigenSnpConfig(k_global=k))
+
+    raw = reader.read(prep.pca_snp_orig_indices, prep.qc_sample_indices)
+    exact = exact_pca_from_strips(
+        iter([raw]), prep.n_samples, k=k, config=cfg, scale=True,
+        apply_qc=False,
+    )
+    ev = np.asarray(exact.eigenvalues, dtype=np.float64)[:k]
+    rel_gap = (ev[:-1] - ev[1:]) / np.maximum(ev[:-1], 1e-300)
+    sep_k = k
+    for j in range(k - 1):
+        if rel_gap[j] < 0.05:
+            sep_k = j + 1
+            break
+    rr = [
+        abs(float(np.corrcoef(res.scores[:, j], exact.scores[:, j])[0, 1]))
+        for j in range(sep_k)
+    ]
+    assert min(rr) > 0.999, (rr, sep_k, rel_gap.tolist())
+    # rotation-invariant: the top-sep_k subspaces must agree regardless
+    qf, _ = np.linalg.qr(np.asarray(res.scores[:, :sep_k], np.float64))
+    qe, _ = np.linalg.qr(np.asarray(exact.scores[:, :sep_k], np.float64))
+    cos = np.linalg.svd(qf.T @ qe, compute_uv=False)
+    assert cos.min() > 0.999, (cos.min(), sep_k)
