@@ -28,9 +28,10 @@ composition instead runs ONE full-matrix pass per OS process via
 `--eigensnp-stop-after-checkpoint`, so the per-process bound is a
 single pass (~25 GB at the 1M x 102,400 default) plus the ~26.8 GB BED
 page cache pressure; that is the budget the default is sized to.
-1M x 131,072 (a 32.8 GB pass) is borderline under the split bound on a
-125 GB host and OOM-killed it monolithically — use `--samples 131072`
-only with the split legs and a quiet host.  Real TPU hosts stream
+1M x 131,072 (a 34.4 GB pass) OOM-killed this host monolithically but
+COMPLETES through the split legs on a quiet 125 GB host (measured round
+5: 3,399 s e2e with certification — VALIDATION.md round 5); keep the
+102,400 default on busy hosts.  Real TPU hosts stream
 through pinned buffers and have no such cap.  Additionally, device_put
 from worker threads leaks on this backend (never freed): all uploads
 go through the main thread.
