@@ -411,11 +411,18 @@ class PreparedData:
             PACKED_MISSING_BYTE, inv_std_of,
         )
 
+        from genomic_pca_tpu.parallel.sharded import _row_pad_tile
+
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
         tile_d = 1024
         d = self.n_pca_snps
-        gran = tile_d * n_dev
+        # Same q8-aware granule as ShardedMatrix's own constructors, so
+        # the capture-fusion container is layout-identical to the
+        # re-read path (bit-identity tests compare raw geno arrays).
+        gran = _row_pad_tile(
+            tile_d, (mk or {}).get("kernel_precision", "q8")
+        ) * n_dev
         d_pad = -(-max(d, 1) // gran) * gran
         n_pad = -(-self.n_samples // 128) * 128
 
@@ -525,8 +532,12 @@ class PreparedData:
         )
         counts = np.diff(bounds)  # per-process survivor counts
 
+        from genomic_pca_tpu.parallel.sharded import _row_pad_tile
+
         tile_d = 1024
-        gran = tile_d * devs_pp
+        gran = _row_pad_tile(
+            tile_d, (mk or {}).get("kernel_precision", "q8")
+        ) * devs_pp
         rows_pp = max(gran, -(-int(counts.max()) // gran) * gran)
         d_pad = rows_pp * n_proc
 

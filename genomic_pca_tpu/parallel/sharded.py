@@ -227,6 +227,39 @@ def auto_tile_d(
     return 0
 
 
+def _row_pad_tile(tile_d: int, kernel_precision: str) -> int:
+    """Row-padding granule for the sharded layout: q8 containers pad to
+    2*tile_d so every shard stays divisible by the doubled q8 steering
+    tile (_q8_packed_tile_d) regardless of the survivor count — at most
+    tile_d extra inert rows (~0.5 MB packed), bought back many times
+    over by the larger tile's rate."""
+    return tile_d * (2 if kernel_precision == "q8" else 1)
+
+
+def _q8_packed_tile_d(d_shard: int, n4: int, ell: int, base: int) -> int:
+    """Row tile for the 1-D packed q8 kernel: the largest power-of-two
+    multiple of `base` (the bf16 kernels' tile) that divides the shard
+    and fits VMEM, capped at 2048.
+
+    The q8 kernel's working set is SMALLER than bf16's at equal tile
+    (int8 planes, no f32 tile copy), so it can take a 2x-larger tile
+    than the shared bf16 sizing: fewer grid steps halve the per-step
+    (4*n4, ell) f32 accumulator traffic — measured 1.34 -> 1.27
+    ms/call at the bench shape (VALIDATION.md round 5).  Working set
+    per step: packed tile x2 pipeline buffers (2*t*n4) + unpacked
+    planes (4*t*n4) + w/y/z f32 and z8 (13*t*ell) + bq and the
+    double-buffered f32 accumulator (36*n4*ell)."""
+    budget = vmem_budget_bytes()
+    tile = base
+    t = base * 2
+    while t <= 2048 and d_shard % t == 0:
+        if 6 * t * n4 + 13 * t * ell + 36 * n4 * ell > budget:
+            break
+        tile = t
+        t *= 2
+    return tile
+
+
 def _slice_blocks_impl(
     geno: jax.Array,  # (D_pad, N_pad) int8
     mean: jax.Array,  # (D_pad, 1) f32
@@ -465,7 +498,9 @@ class ShardedMatrix:
         s_all = np.concatenate(ss, axis=0).astype(np.float32)
         n_rows = g_all.shape[0]
 
-        d_pad = _round_up(max(n_rows, 1), tile_d * n_dev)
+        d_pad = _round_up(
+            max(n_rows, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+        )
         n_pad = _round_up(n_samples, 128)
         g_pad = np.full((d_pad, n_pad), MISSING, dtype=np.int8)
         g_pad[:n_rows, :n_samples] = g_all
@@ -518,7 +553,9 @@ class ShardedMatrix:
         """
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
-        d_pad = _round_up(max(n_rows, 1), tile_d * n_dev)
+        d_pad = _round_up(
+            max(n_rows, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+        )
         n_pad = packed_cols(n_samples) if packed else _round_up(n_samples, 128)
         rows_per_dev = d_pad // n_dev
 
@@ -749,7 +786,9 @@ class ShardedMatrix:
         packed_rows = np.asarray(packed_rows, dtype=np.uint8)
         packed_rows = sanitize_partial_byte(packed_rows, n_samples)
         d = packed_rows.shape[0]
-        d_pad = _round_up(max(d, 1), tile_d * n_dev)
+        d_pad = _round_up(
+            max(d, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+        )
         n4_pad = packed_cols(n_samples)
         g_pad = np.full((d_pad, n4_pad), PACKED_MISSING_BYTE, dtype=np.uint8)
         g_pad[:d, : packed_rows.shape[1]] = packed_rows
@@ -808,7 +847,9 @@ class ShardedMatrix:
         """
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
-        d_pad = _round_up(max(n_rows, 1), tile_d * n_dev)
+        d_pad = _round_up(
+            max(n_rows, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+        )
         n4_pad = packed_cols(n_samples)
         rows_per_dev = d_pad // n_dev
         flat = list(mesh.devices.flat)
@@ -870,16 +911,25 @@ class ShardedMatrix:
         if precision == "q8":
             precision = "bf16"
             if self.mode in ("pallas", "pallas_interpret"):
-                q8_fn = (
-                    pk.fused_gram_q8_packed if self.packed
-                    else pk.fused_gram_q8
-                )
-
-                def local_gram_q8(g, iv, u, bq, sb, csum):
-                    return q8_fn(
-                        g, iv, u, bq, sb, csum, tile_d=tile_d,
-                        interpret=interpret,
-                    )
+                if self.packed:
+                    def local_gram_q8(g, iv, u, bq, sb, csum):
+                        # Shape-aware tile: g/bq shapes are static at
+                        # trace time, so the q8 tile can exceed the
+                        # shared bf16 tile when the shard and VMEM
+                        # allow (see _q8_packed_tile_d).
+                        t = _q8_packed_tile_d(
+                            g.shape[0], g.shape[1], bq.shape[1], tile_d
+                        )
+                        return pk.fused_gram_q8_packed(
+                            g, iv, u, bq, sb, csum, tile_d=t,
+                            interpret=interpret,
+                        )
+                else:
+                    def local_gram_q8(g, iv, u, bq, sb, csum):
+                        return pk.fused_gram_q8(
+                            g, iv, u, bq, sb, csum, tile_d=tile_d,
+                            interpret=interpret,
+                        )
 
             elif self.mode in ("pallas2d", "pallas2d_interpret"):
                 # Biobank-wide sample axes: the W/T split through the
