@@ -122,6 +122,14 @@ def main() -> int:
             print("  (no module with per-strip invocation count; "
                   "largest-total module used)")
             per_strip = [rows[0]]
+        if precision == "q8":
+            # The q8 run also executes the exact bf16 polish program
+            # per strip; select the STEERING kernel by name (with the
+            # round-5 decode the steering total can drop below the
+            # polish total, so largest-total would misattribute).
+            named = [r for r in per_strip if "q8" in r[0]]
+            if named:
+                per_strip = named
         nm, t, c = max(per_strip, key=lambda r: r[1])
         ms_per_strip = t / c
         tflops = flops_per_strip / (ms_per_strip * 1e-3) / 1e12
