@@ -313,16 +313,36 @@ class StreamingMatrix:
         T = A^T A b with the rank-1 term already folded (linear, so the
         fold commutes with the strip sum).  int8-MXU matmuls; same
         quantization model as the sharded container."""
+        from genomic_pca_tpu.parallel.sharded import (
+            _q8_packed_tile_d, _q8_packed_tile_d_2d,
+        )
+
         interpret = self.mode.endswith("_interpret")
         u = m * iv
         if self.mode.startswith("pallas2d"):
+            # q8 steering tile decoupled from the shared bf16 sizing
+            # (packed planes are int8 — a 2-4x larger row tile fits
+            # VMEM and cuts grid steps; strips cap it at strip_rows).
+            t = (
+                _q8_packed_tile_d_2d(
+                    g.shape[0], self.tile_n, bq.shape[1], self.tile_d
+                )
+                if self.packed
+                else self.tile_d
+            )
             o, ru = pk.q8_power_pass_2d(
-                g, iv, u, bq, sb, csum, tile_d=self.tile_d,
+                g, iv, u, bq, sb, csum, tile_d=t,
                 tile_n=self.tile_n, interpret=interpret,
             )
+        elif self.packed:
+            t = _q8_packed_tile_d(
+                g.shape[0], g.shape[1], bq.shape[1], self.tile_d
+            )
+            o, ru = pk.fused_gram_q8_packed(
+                g, iv, u, bq, sb, csum, tile_d=t, interpret=interpret,
+            )
         else:
-            fn = pk.fused_gram_q8_packed if self.packed else pk.fused_gram_q8
-            o, ru = fn(
+            o, ru = pk.fused_gram_q8(
                 g, iv, u, bq, sb, csum, tile_d=self.tile_d,
                 interpret=interpret,
             )

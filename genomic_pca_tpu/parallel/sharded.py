@@ -260,6 +260,27 @@ def _q8_packed_tile_d(d_shard: int, n4: int, ell: int, base: int) -> int:
     return tile
 
 
+def _q8_packed_tile_d_2d(d: int, tn4: int, ell: int, base: int) -> int:
+    """Row tile for the 2-D packed q8 kernels (right/left split): the
+    largest power-of-two multiple of `base` dividing the row count that
+    fits VMEM, capped at 4096.  The 2-D q8 kernels run the
+    standardization corrections in XLA between the two calls
+    (q8_power_pass_2d), so their in-kernel working set is just the byte
+    tile (x2 pipeline buffers) + unpacked planes (6*t*tn4), the (t, L)
+    w/z8 tiles (4*t*ell), and the int8 basis / f32 accumulator block
+    (8*tn4*ell) — measured: (4096, 512) compiles and is 8% faster than
+    (1024, 512); (2048, 2048-bytes) correctly exceeds scoped VMEM."""
+    budget = vmem_budget_bytes()
+    tile = base
+    t = base * 2
+    while t <= 4096 and d % t == 0:
+        if 6 * t * tn4 + 4 * t * ell + 8 * tn4 * ell > budget:
+            break
+        tile = t
+        t *= 2
+    return tile
+
+
 def _slice_blocks_impl(
     geno: jax.Array,  # (D_pad, N_pad) int8
     mean: jax.Array,  # (D_pad, 1) f32
@@ -936,9 +957,18 @@ class ShardedMatrix:
                 # 2-D tiled int8-MXU kernels, standardization
                 # corrections + per-row-tile re-quantization in XLA on
                 # the small (D, L) intermediate (pk.q8_power_pass_2d).
+                _is_packed = self.packed
+
                 def local_gram_q8(g, iv, u, bq, sb, csum):
+                    t = (
+                        _q8_packed_tile_d_2d(
+                            g.shape[0], tile_n, bq.shape[1], tile_d
+                        )
+                        if _is_packed
+                        else tile_d
+                    )
                     return pk.q8_power_pass_2d(
-                        g, iv, u, bq, sb, csum, tile_d=tile_d,
+                        g, iv, u, bq, sb, csum, tile_d=t,
                         tile_n=tile_n, interpret=interpret,
                     )
 
