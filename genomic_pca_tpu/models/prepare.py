@@ -411,23 +411,26 @@ class PreparedData:
             PACKED_MISSING_BYTE, inv_std_of,
         )
 
-        from genomic_pca_tpu.parallel.sharded import _row_pad_tile
+        from genomic_pca_tpu.parallel.sharded import (
+            DEFAULT_KERNEL_PRECISION, _row_pad_tile,
+        )
 
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
         tile_d = 1024
         d = self.n_pca_snps
+        cap = self.qc_capture
+        packed = cap.packed
         # Same q8-aware granule as ShardedMatrix's own constructors, so
         # the capture-fusion container is layout-identical to the
         # re-read path (bit-identity tests compare raw geno arrays).
         gran = _row_pad_tile(
-            tile_d, (mk or {}).get("kernel_precision", "q8")
+            tile_d,
+            (mk or {}).get("kernel_precision", DEFAULT_KERNEL_PRECISION),
+            packed,
         ) * n_dev
         d_pad = -(-max(d, 1) // gran) * gran
         n_pad = -(-self.n_samples // 128) * 128
-
-        cap = self.qc_capture
-        packed = cap.packed
         pad_value = PACKED_MISSING_BYTE if packed else MISSING
         batch_of = self.pca_snp_orig_indices // cap.batch_rows
         within = (self.pca_snp_orig_indices % cap.batch_rows).astype(np.int32)
@@ -532,17 +535,20 @@ class PreparedData:
         )
         counts = np.diff(bounds)  # per-process survivor counts
 
-        from genomic_pca_tpu.parallel.sharded import _row_pad_tile
-
-        tile_d = 1024
-        gran = _row_pad_tile(
-            tile_d, (mk or {}).get("kernel_precision", "q8")
-        ) * devs_pp
-        rows_pp = max(gran, -(-int(counts.max()) // gran) * gran)
-        d_pad = rows_pp * n_proc
+        from genomic_pca_tpu.parallel.sharded import (
+            DEFAULT_KERNEL_PRECISION, _row_pad_tile,
+        )
 
         cap = self.qc_capture
         packed = cap.packed
+        tile_d = 1024
+        gran = _row_pad_tile(
+            tile_d,
+            (mk or {}).get("kernel_precision", DEFAULT_KERNEL_PRECISION),
+            packed,
+        ) * devs_pp
+        rows_pp = max(gran, -(-int(counts.max()) // gran) * gran)
+        d_pad = rows_pp * n_proc
         pad_value = PACKED_MISSING_BYTE if packed else MISSING
         n_qc = self.n_samples
         if packed:

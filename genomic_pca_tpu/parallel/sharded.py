@@ -227,13 +227,37 @@ def auto_tile_d(
     return 0
 
 
-def _row_pad_tile(tile_d: int, kernel_precision: str) -> int:
-    """Row-padding granule for the sharded layout: q8 containers pad to
-    2*tile_d so every shard stays divisible by the doubled q8 steering
-    tile (_q8_packed_tile_d) regardless of the survivor count — at most
-    tile_d extra inert rows (~0.5 MB packed), bought back many times
-    over by the larger tile's rate."""
-    return tile_d * (2 if kernel_precision == "q8" else 1)
+# Default kernel precision of every container constructor; prepare.py's
+# capture-assembly paths read it so their padding granule can never
+# drift from the constructors' (raw-geno bit-identity across paths).
+DEFAULT_KERNEL_PRECISION = "q8"
+
+
+def _row_pad_tile(tile_d: int, kernel_precision: str, packed: bool) -> int:
+    """Row-padding granule for the sharded layout: PACKED q8 containers
+    pad to 2*tile_d so every shard stays divisible by the doubled q8
+    steering tile (_q8_packed_tile_d) regardless of the survivor count
+    — at most tile_d extra inert rows (~0.5 MB packed), bought back
+    many times over by the larger tile's rate.  Dense containers keep
+    the base granule: only the packed kernels take the doubled tile, so
+    dense doubling would add padding (and shift row distribution across
+    devices) for zero benefit."""
+    return tile_d * (2 if (packed and kernel_precision == "q8") else 1)
+
+
+def _grow_pow2_tile(d: int, base: int, cap: int, step_bytes) -> int:
+    """Shared doubling loop of the q8 tile choosers: the largest
+    power-of-two multiple of `base` that divides `d`, fits the VMEM
+    budget per `step_bytes(t)`, and does not exceed `cap`."""
+    budget = vmem_budget_bytes()
+    tile = base
+    t = base * 2
+    while t <= cap and d % t == 0:
+        if step_bytes(t) > budget:
+            break
+        tile = t
+        t *= 2
+    return tile
 
 
 def _q8_packed_tile_d(d_shard: int, n4: int, ell: int, base: int) -> int:
@@ -249,15 +273,10 @@ def _q8_packed_tile_d(d_shard: int, n4: int, ell: int, base: int) -> int:
     per step: packed tile x2 pipeline buffers (2*t*n4) + unpacked
     planes (4*t*n4) + w/y/z f32 and z8 (13*t*ell) + bq and the
     double-buffered f32 accumulator (36*n4*ell)."""
-    budget = vmem_budget_bytes()
-    tile = base
-    t = base * 2
-    while t <= 2048 and d_shard % t == 0:
-        if 6 * t * n4 + 13 * t * ell + 36 * n4 * ell > budget:
-            break
-        tile = t
-        t *= 2
-    return tile
+    return _grow_pow2_tile(
+        d_shard, base, 2048,
+        lambda t: 6 * t * n4 + 13 * t * ell + 36 * n4 * ell,
+    )
 
 
 def _q8_packed_tile_d_2d(d: int, tn4: int, ell: int, base: int) -> int:
@@ -265,20 +284,22 @@ def _q8_packed_tile_d_2d(d: int, tn4: int, ell: int, base: int) -> int:
     largest power-of-two multiple of `base` dividing the row count that
     fits VMEM, capped at 4096.  The 2-D q8 kernels run the
     standardization corrections in XLA between the two calls
-    (q8_power_pass_2d), so their in-kernel working set is just the byte
-    tile (x2 pipeline buffers) + unpacked planes (6*t*tn4), the (t, L)
-    w/z8 tiles (4*t*ell), and the int8 basis / f32 accumulator block
-    (8*tn4*ell) — measured: (4096, 512) compiles and is 8% faster than
-    (1024, 512); (2048, 2048-bytes) correctly exceeds scoped VMEM."""
-    budget = vmem_budget_bytes()
-    tile = base
-    t = base * 2
-    while t <= 4096 and d % t == 0:
-        if 6 * t * tn4 + 4 * t * ell + 8 * tn4 * ell > budget:
-            break
-        tile = t
-        t *= 2
-    return tile
+    (q8_power_pass_2d), so their in-kernel working set is the byte tile
+    (x2 pipeline buffers) + unpacked planes (6*t*tn4), the (t, L) w/z8
+    tiles (4*t*ell), and the larger of the two kernels' basis /
+    accumulator blocks — the LEFT kernel's (4*tn4, L) f32 accumulator
+    plus its int32 dot temp (32*tn4*ell) — measured: (4096, 512)
+    compiles and is 8% faster than (1024, 512); (2048, 2048-bytes)
+    correctly exceeds scoped VMEM.  The byte constants are calibrated
+    at the production ell = 128 only (models/pca.lane_fill_width), so
+    wider sketches keep the base tile rather than trusting the formula
+    outside its measured envelope."""
+    if ell > 128:
+        return base
+    return _grow_pow2_tile(
+        d, base, 4096,
+        lambda t: 5 * t * tn4 + 4 * t * ell + 32 * tn4 * ell,
+    )
 
 
 def _slice_blocks_impl(
@@ -520,7 +541,8 @@ class ShardedMatrix:
         n_rows = g_all.shape[0]
 
         d_pad = _round_up(
-            max(n_rows, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+            max(n_rows, 1),
+            _row_pad_tile(tile_d, kernel_precision, packed=False) * n_dev,
         )
         n_pad = _round_up(n_samples, 128)
         g_pad = np.full((d_pad, n_pad), MISSING, dtype=np.int8)
@@ -575,7 +597,8 @@ class ShardedMatrix:
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
         d_pad = _round_up(
-            max(n_rows, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+            max(n_rows, 1),
+            _row_pad_tile(tile_d, kernel_precision, packed) * n_dev,
         )
         n_pad = packed_cols(n_samples) if packed else _round_up(n_samples, 128)
         rows_per_dev = d_pad // n_dev
@@ -704,7 +727,9 @@ class ShardedMatrix:
         for p, nd in ndev_of.items():
             need = -(-int(totals[p]) // nd)
             rows_per_dev = max(rows_per_dev, need)
-        rows_per_dev = _round_up(rows_per_dev, tile_d)
+        rows_per_dev = _round_up(
+            rows_per_dev, _row_pad_tile(tile_d, kernel_precision, packed)
+        )
         d_pad = rows_per_dev * len(flat)
         n_pad = packed_cols(n_samples) if packed else _round_up(n_samples, 128)
 
@@ -808,7 +833,8 @@ class ShardedMatrix:
         packed_rows = sanitize_partial_byte(packed_rows, n_samples)
         d = packed_rows.shape[0]
         d_pad = _round_up(
-            max(d, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+            max(d, 1),
+            _row_pad_tile(tile_d, kernel_precision, packed=True) * n_dev,
         )
         n4_pad = packed_cols(n_samples)
         g_pad = np.full((d_pad, n4_pad), PACKED_MISSING_BYTE, dtype=np.uint8)
@@ -869,7 +895,8 @@ class ShardedMatrix:
         mesh = mesh or make_mesh()
         n_dev = mesh.devices.size
         d_pad = _round_up(
-            max(n_rows, 1), _row_pad_tile(tile_d, kernel_precision) * n_dev
+            max(n_rows, 1),
+            _row_pad_tile(tile_d, kernel_precision, packed=True) * n_dev,
         )
         n4_pad = packed_cols(n_samples)
         rows_per_dev = d_pad // n_dev

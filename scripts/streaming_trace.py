@@ -124,14 +124,29 @@ def main() -> int:
             per_strip = [rows[0]]
         if precision == "q8":
             # The q8 run also executes the exact bf16 polish program
-            # per strip; select the STEERING kernel by name (with the
-            # round-5 decode the steering total can drop below the
-            # polish total, so largest-total would misattribute).
+            # per strip; select the STEERING kernel(s) by name (with
+            # the round-5 decode the steering total can drop below the
+            # polish total, so largest-total would misattribute).  In
+            # pallas2d mode the steering pass is TWO programs
+            # (right_apply_2d_q8 + left_apply_2d_q8) — SUM the family
+            # and divide by one program's call count so the per-strip
+            # figure covers the whole pass in both modes.
             named = [r for r in per_strip if "q8" in r[0]]
             if named:
                 per_strip = named
-        nm, t, c = max(per_strip, key=lambda r: r[1])
-        ms_per_strip = t / c
+        else:
+            # Exact path: keep only kernel-family programs (gram /
+            # right / left applies) so glue like jit_add does not
+            # pollute the family sum in pallas2d mode.
+            named = [
+                r for r in per_strip
+                if "gram" in r[0] or "apply" in r[0]
+            ]
+            if named:
+                per_strip = named
+        calls = max(c for _nm, _t, c in per_strip)
+        nm = max(per_strip, key=lambda r: r[1])[0]
+        ms_per_strip = sum(t for _nm, t, _c in per_strip) / calls
         tflops = flops_per_strip / (ms_per_strip * 1e-3) / 1e12
         kind = "steering" if precision == "q8" else "exact"
         print(f"  -> {kind} strip program {nm[:50]}: {ms_per_strip:.3f} "

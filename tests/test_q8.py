@@ -88,14 +88,12 @@ def test_q8_pca_concordance_vs_f64(rng):
 def test_q8_matches_bf16_path(rng):
     """q8 and plain-bf16 containers agree on the same data (no missing).
 
-    Threshold note: this compares the q8 STEERING pipeline against the
-    bf16 one at minimal polish on a 768-SNP toy — the residual is the
-    designed 8-bit steering noise, whose exact level shifts with the
-    q8 tile layout (bigger tiles share one z scale across more rows —
-    the deliberate speed/granularity trade of _q8_packed_tile_d).  The
-    binding accuracy bar is vs FLOAT64 with polish: |r| >= 0.99999
-    (test_q8_pca_concordance_vs_f64) and the on-chip oracle runs
-    (VALIDATION.md), which are unchanged by the tile choice."""
+    Layout note: this also pins that dense containers keep the BASE
+    row-padding granule under the default q8 precision — during round 5
+    an unconditional 2*tile_d q8 granule redistributed rows across the
+    8-device mesh and shifted PC4 concordance to 0.99986 via f32
+    summation-order changes alone (the doubled q8 tile itself is
+    packed-only and never runs on this dense path)."""
     d, n, k = 768, 128, 4
     g = make_genotypes(rng, d, n, missing_rate=0.0, n_pops=6, fst=0.15)
     mesh = make_mesh()
@@ -110,7 +108,7 @@ def test_q8_matches_bf16_path(rng):
             / (np.linalg.norm(rb.scores[:, i])
                * np.linalg.norm(rq.scores[:, i]))
         ))
-        assert r > 0.999, (i, r)
+        assert r > 0.9999, (i, r)
     np.testing.assert_allclose(
         rq.eigenvalues, rb.eigenvalues, rtol=5e-3
     )
