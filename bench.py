@@ -280,10 +280,15 @@ def main() -> None:
         # Correctness bit: cheap subset-oracle concordance (framework on
         # a block-aligned SNP subset x a sample keep-list vs exact
         # float64 PCA) — a throughput number with no accuracy check is
-        # unfalsifiable.
+        # unfalsifiable.  Subset size is an eigengap trade-off: 16
+        # blocks x 4,096 samples leaves only 2 separated PCs (the
+        # certificate covers almost nothing), while 48 blocks at the
+        # same sample count separate 13 PCs (min |r| 0.992) for ~68 s
+        # (measured; 48 x 8,192 separates 16 but costs 172 s and its
+        # prefix-boundary PC sits at 0.96 — worse bar, 2.5x cost).
         try:
             orc = subset_oracle(
-                bio_dir, k=40, n_sub_blocks=16, n_sub_samples=4096
+                bio_dir, k=40, n_sub_blocks=48, n_sub_samples=4096
             )
             bio["biobank_e2e_per_pc_abs_r_min_separated"] = orc[
                 "per_pc_abs_r_min_separated"
