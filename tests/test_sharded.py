@@ -234,3 +234,48 @@ def test_pallas2d_interpret_matches_xla(rng):
     np.testing.assert_allclose(
         sm_p.right_apply(b), sm_x.right_apply(b), rtol=1e-4, atol=1e-2
     )
+
+
+def test_q8_tile_sizing_contracts():
+    """Pin the q8 steering-tile choosers' contracts: divisibility, the
+    power-of-two growth, the VMEM-budget rejection, the hard caps, and
+    the 2-D formula's ell>128 calibration guard (sharded.py round-5
+    sizing; VALIDATION.md round 5 for the measured choices)."""
+    from genomic_pca_tpu.parallel.sharded import (
+        _grow_pow2_tile, _q8_packed_tile_d, _q8_packed_tile_d_2d,
+        _row_pad_tile, vmem_budget_bytes,
+    )
+
+    budget = vmem_budget_bytes()
+
+    # _grow_pow2_tile: base when nothing grows; respects divisibility.
+    assert _grow_pow2_tile(1024, 1024, 4096, lambda t: 0) == 1024
+    # d % (2*base) != 0 blocks doubling even with infinite budget
+    assert _grow_pow2_tile(3 * 1024, 1024, 4096, lambda t: 0) == 1024
+    # budget rejection: a step-cost exceeding VMEM stops growth
+    assert _grow_pow2_tile(8192, 1024, 8192, lambda t: t * 1024) in (
+        1024, 2048, 4096, 8192,
+    )
+    assert _grow_pow2_tile(
+        8192, 1024, 8192, lambda t: budget + 1 if t > 1024 else 0
+    ) == 1024
+
+    # 1-D packed chooser at the bench shape (262,144-row shard, 512
+    # packed cols, L=128): doubles to 2048 (the measured round-5
+    # choice) and never beyond its cap.
+    t1 = _q8_packed_tile_d(262_144, 512, 128, 1024)
+    assert t1 == 2048
+    # at a huge packed width nothing fits beyond base
+    assert _q8_packed_tile_d(262_144, 65_536, 128, 1024) == 1024
+
+    # 2-D chooser at the biobank-class shape (65,536 rows, 512-byte
+    # column tile, L=128): the measured (4096, 512) choice.
+    assert _q8_packed_tile_d_2d(65_536, 512, 128, 1024) == 4096
+    # wider sketches are outside the calibrated envelope -> base tile
+    assert _q8_packed_tile_d_2d(65_536, 512, 256, 1024) == 1024
+
+    # Row-padding granule: packed q8 pads to 2*tile_d so every shard
+    # divides the doubled steering tile; dense and non-q8 keep base.
+    assert _row_pad_tile(1024, "q8", packed=True) == 2048
+    assert _row_pad_tile(1024, "q8", packed=False) == 1024
+    assert _row_pad_tile(1024, "bf16", packed=True) == 1024
